@@ -1,13 +1,25 @@
 """Test config: run JAX on a virtual 8-device CPU mesh so multi-chip
 sharding paths are exercised without TPU hardware (the driver separately
-dry-runs the multichip path; real-chip benches live in bench.py)."""
+dry-runs the multichip path; real-chip benches live in bench.py).
+
+Note: the `axon` TPU plugin on this machine ignores the JAX_PLATFORMS
+environment variable, so we must force the CPU platform through
+jax.config before any backend is initialized.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "true")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
