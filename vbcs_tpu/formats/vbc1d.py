@@ -160,6 +160,30 @@ def pack_1dvbc(A: CSC, Phi: SplitPartition, W: int | None = None) -> VBC1D:
     if Phi.n != n:
         raise ValueError("partition does not cover the columns of A")
 
+    # C++ fast path (exact same layout; see native/vbc_native.cpp).
+    # float64 staging is value-exact for f32/f64/ints<2^53/bool.
+    if A.val.dtype.kind in "fb" or (
+        A.val.dtype.kind in "iu" and A.val.dtype.itemsize <= 4
+    ):
+        try:
+            from ..native import pack_1dvbc_native
+
+            packed = pack_1dvbc_native(m, n, A.pos, A.idx, A.val, spl)
+        except Exception:
+            packed = None
+        if packed is not None:
+            bpos, bidx, bofs, bval = packed
+            return VBC1D(
+                m=m,
+                n=n,
+                W=int(W),
+                Phi=Phi,
+                pos=bpos,
+                idx=bidx,
+                ofs=bofs,
+                val=bval.astype(A.val.dtype),
+            )
+
     nnz = A.nnz
     col_of_nz = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.pos))
     stripe_of_nz = np.searchsorted(spl, col_of_nz, side="right") - 1

@@ -1,0 +1,175 @@
+"""Autotuned execution-time cost model for the DP planner.
+
+Re-implements the reference's headline capability (``src/costs.jl:12-136``
+and §3.4 of SURVEY.md) TPU-natively: measure the real TrSpMV kernel on
+synthetic width-uniform matrices, fit per-width costs by relative-error
+least squares, monotonize, and feed the result to the optimal DP as a
+:class:`~vbcs_tpu.models.cost.ColumnBlockComponentCostModel` with
+per-width tables.
+
+Differences from the reference, by design:
+
+* the benchmarked kernel is the Pallas TrSpMV stream kernel (the thing
+  the planner actually schedules for), timed with the difference method
+  (``utils/timing.py``) instead of BenchmarkTools;
+* problem sizes target a fixed HBM-resident working set instead of
+  "half of L2" (``src/costs.jl:44-60``) — TPU has no cache hierarchy to
+  straddle, HBM streaming is the regime that matters;
+* results are disk-cached keyed by (device kind, dtype, W, generator
+  params) — the analog of the reference's ``arch_id()``-keyed
+  DiskCache (``src/util.jl:52``, ``src/costs.jl:14``).
+
+The fit model (mirroring the reference design matrix at
+``src/costs.jl:112-122``):  t(matrix) ~ alpha_row * m + alpha_col[w] * L
++ beta_col[w] * q  for a width-w matrix with L stripes and q blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+from .cost import ColumnBlockComponentCostModel
+
+__all__ = ["model_1dvbc_trspmv_time", "autotune_1dvbc_trspmv"]
+
+_CACHE_DIR = os.path.join(
+    os.environ.get("VBCS_CACHE", os.path.expanduser("~/.cache/vbcs_tpu")),
+    "autotune",
+)
+
+
+def _arch_id() -> str:
+    """Device fingerprint (reference ``arch_id()``: SHA of cpuinfo)."""
+    import jax
+
+    d = jax.devices()[0]
+    key = f"{d.platform}|{getattr(d, 'device_kind', '?')}|{jax.__version__}"
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _synth(L, w, d, band, seed):
+    """Width-uniform banded blocky matrix (reference src/costs.jl:63-82
+    plus the locality our windowed kernel exploits)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    m = L * w
+    cs = np.arange(L) * w + w // 2
+    rr = np.clip(cs[:, None] + rng.integers(-band, band, (L, d)), 0, m - 1)
+    rows = np.repeat(rr.reshape(-1), w)
+    cols = (
+        np.repeat(np.arange(L) * w, d)[:, None] + np.arange(w)[None, :]
+    ).reshape(-1)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsc()
+    A.sum_duplicates()
+    return A
+
+
+def autotune_1dvbc_trspmv(
+    W: int = 8,
+    d: int = 8,
+    target_bytes: int = 16 << 20,
+    band: int = 400,
+    verbose: bool = False,
+    cache: bool = True,
+):
+    """Measure + fit; returns (alpha_col[W], beta_col[W]) tables (ns)."""
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    key = json.dumps(
+        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=2)
+    )
+    path = os.path.join(
+        _CACHE_DIR, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
+    )
+    if cache and os.path.exists(path):
+        data = json.load(open(path))
+        return np.asarray(data["alpha"]), np.asarray(data["beta"])
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..formats.csc import CSC
+    from ..formats.vbc1d import pack_1dvbc
+    from ..formats.partition import SplitPartition
+    from ..ops import pallas_trspmv2 as pk2
+    from ..utils.timing import periter
+
+    ms, Ls, ws, qs, ts = [], [], [], [], []
+    for w in range(W, 0, -1):
+        # L sized so the stream (val + row + gseg + x + y) ~ target_bytes
+        bytes_per_block = 8 * w * 4 + 8 * 4 + 4  # interleaved f32 + meta
+        L0 = max(2048, int(target_bytes / (d * bytes_per_block + 2 * w * 4)))
+        for Lf, qf in [(1.0, 1.0), (0.5, 1.0), (1.0, 0.5)]:
+            L = max(1024, int(L0 * Lf))
+            dd = max(1, int(d * qf))
+            A = _synth(L, w, dd, band, seed=w * 7 + int(Lf * 2))
+            C = CSC.from_scipy(A)
+            B = pack_1dvbc(C, SplitPartition.equi(C.n, w), W)
+            fmt = pk2.pack_stream2(B)
+            x = jnp.asarray(
+                np.random.default_rng(0).standard_normal(C.m), jnp.float32
+            )
+            x2d0 = pk2._x_2d(x, fmt.m)
+            c0 = fmt.classes[0]
+
+            def mk(n):
+                def f(x2d):
+                    def body(i, acc):
+                        out = pk2._run_class2(c0, x2d * (1.0 + acc * 1e-30))
+                        return out[0, 0]
+
+                    return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
+
+                g = jax.jit(f)
+                return lambda: g(x2d0)
+
+            t = periter(mk, 10, 60, reps=6)
+            ms.append(C.m)
+            Ls.append(len(B.Phi))
+            ws.append(w)
+            qs.append(B.num_blocks)
+            ts.append(t * 1e9)  # ns
+            if verbose:
+                print(
+                    f"w={w} L={L} q={B.num_blocks} t={t*1e6:.1f}us "
+                    f"({B.num_blocks*w/t/1e9:.1f} Gnnz/s)"
+                )
+
+    # relative-error LSQ on one-hot design (reference src/costs.jl:112-122)
+    N = len(ts)
+    D = np.zeros((N, 1 + 2 * W))
+    for i in range(N):
+        D[i, 0] = ms[i]
+        D[i, 1 + ws[i] - 1] = Ls[i]
+        D[i, 1 + W + ws[i] - 1] = qs[i]
+    T = np.asarray(ts)
+    sol, *_ = np.linalg.lstsq(D / T[:, None], np.ones(N), rcond=None)
+    alpha_row = sol[0]
+    alpha = sol[1 : 1 + W].copy()
+    beta = sol[1 + W :].copy()
+    # monotonize (reference src/costs.jl:127-131)
+    for w in range(1, W):
+        alpha[w] = max(alpha[w], alpha[w - 1])
+        beta[w] = max(beta[w], beta[w - 1])
+    alpha = np.maximum(alpha, 0.0)
+    beta = np.maximum(beta, 0.0)
+    if cache:
+        json.dump(
+            {"alpha": alpha.tolist(), "beta": beta.tolist(),
+             "alpha_row": float(alpha_row), "data": dict(
+                 ms=ms, Ls=Ls, ws=ws, qs=qs, ts=ts)},
+            open(path, "w"),
+        )
+    return alpha, beta
+
+
+def model_1dvbc_trspmv_time(W: int = 8, **kwargs) -> ColumnBlockComponentCostModel:
+    """Autotuned time model for the DP (reference
+    ``model_SparseMatrix1DVBC_TrSpMV_time``, ``src/costs.jl:12``)."""
+    alpha, beta = autotune_1dvbc_trspmv(W, **kwargs)
+    return ColumnBlockComponentCostModel(alpha_col=alpha, beta_col=beta)

@@ -1,0 +1,176 @@
+"""Static permutation / gather via windowed Pallas lane-gathers.
+
+XLA's gather lowers to a ~per-element loop on this TPU backend
+(~0.6 GB/s measured), so any per-call permutation must be a kernel.
+This utility applies a *static* index map ``out[i] = src[perm[i]]``
+when the map is piecewise-local: each 1024-element output segment's
+source indices must lie inside ``wblk <= MAX_WBLK`` aligned
+1024-element windows of ``src``.  That holds for the slot->natural
+maps produced by the VBC stream packers (slots are monotone within a
+class, with bounded padding jumps) and for bounded-bandwidth row
+permutations.
+
+Output chunks of 8192 elements are stored chunk-column-major
+(element ``e`` of chunk ``g`` at sublane ``e % 8``, lane ``e // 8``)
+so that each (8, 128) vreg covers 1024 *consecutive* output elements
+and gets its own source window — keeping window spans at the segment
+scale rather than the chunk scale.
+
+``pack_permute`` returns ``None`` when the map is not local enough —
+callers then fall back to the XLA gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["PermutePlan", "pack_permute", "apply_permute"]
+
+CO = 8192  # output elements per grid step (8 vregs of 1024)
+NV = 8  # vregs per chunk
+MAX_WBLK = 6
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["local", "xtile", "valid"],
+    meta_fields=["n_out", "src_len", "wblk", "num_chunks"],
+)
+@dataclasses.dataclass(frozen=True)
+class PermutePlan:
+    n_out: int
+    src_len: int
+    wblk: int
+    num_chunks: int
+    local: jax.Array  # [8, T*1024] int32 window-local source offsets
+    xtile: jax.Array  # [T*NV] int32 per-vreg window base (1024-unit)
+    valid: jax.Array  # [8, T*1024] f32 output mask
+
+
+def pack_permute(perm: np.ndarray, src_len: int) -> PermutePlan | None:
+    """Build a windowed-gather plan for ``out[i] = src[perm[i]]``."""
+    perm = np.asarray(perm, dtype=np.int64)
+    n = perm.size
+    T = max(1, -(-n // CO))
+    pp = np.zeros(T * CO, dtype=np.int64)
+    pp[:n] = perm
+    vmask = np.zeros(T * CO, dtype=np.float32)
+    vmask[:n] = 1.0
+
+    # segment = 1024 consecutive outputs = one vreg
+    nseg = T * NV
+    seg_vals = pp.reshape(nseg, 1024)
+    seg_mask = vmask.reshape(nseg, 1024) > 0
+    big = np.iinfo(np.int64).max
+    rmin = np.min(np.where(seg_mask, seg_vals, big), axis=1)
+    rmax = np.max(np.where(seg_mask, seg_vals, -1), axis=1)
+    rmin = np.where(rmax < 0, 0, rmin)
+    rmax = np.where(rmax < 0, 0, rmax)
+    span = rmax - (rmin // 1024) * 1024 + 1
+    wblk = int(max(1, -(-int(span.max()) // 1024)))
+    if wblk > MAX_WBLK:
+        return None
+    xtile = (rmin // 1024).astype(np.int32)  # [T*NV]
+
+    base = (xtile.astype(np.int64) * 1024)[:, None]
+    local_seg = np.where(seg_mask, seg_vals - base, 0).astype(np.int32)
+
+    # chunk-column-major placement: element e of chunk g ->
+    # (sublane e % 8, lane g*1024 + e // 8); within segment v of chunk g,
+    # e = v*1024 + t  ->  sublane t' = e % 8, lane = g*1024 + v*128 + ...
+    local = np.zeros((8, T * 1024), dtype=np.int32)
+    valid = np.zeros((8, T * 1024), dtype=np.float32)
+    e_idx = np.arange(CO)
+    sub = e_idx % 8
+    lane = e_idx // 8
+    for g in range(T):
+        vals_g = np.concatenate(
+            [local_seg[g * NV + v] for v in range(NV)]
+        )  # [CO] in element order
+        mask_g = vmask[g * CO : (g + 1) * CO]
+        local[sub, g * 1024 + lane] = vals_g
+        valid[sub, g * 1024 + lane] = mask_g
+    return jax.device_put(
+        PermutePlan(
+            n_out=int(n),
+            src_len=int(src_len),
+            wblk=wblk,
+            num_chunks=int(T),
+            local=local,
+            xtile=xtile,
+            valid=valid,
+        )
+    )
+
+
+def _permute_kernel(wblk: int):
+    def kernel(xtile_ref, local_ref, valid_ref, *rest):
+        win_refs = rest[: NV * wblk]
+        out_ref = rest[NV * wblk]
+        local = local_ref[...]  # [8, 1024]
+        hi = jax.lax.shift_right_logical(local, 7)
+        lo = jax.lax.bitwise_and(local, 127)
+        parts = []
+        for v_ in range(NV):
+            lo_s = lo[:, v_ * 128 : (v_ + 1) * 128]
+            hi_s = hi[:, v_ * 128 : (v_ + 1) * 128]
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for wi_ in range(wblk):
+                wv = win_refs[v_ * wblk + wi_][...]
+                for s in range(8):
+                    tbl = jnp.broadcast_to(wv[s : s + 1, :], (8, 128))
+                    cand = jnp.take_along_axis(tbl, lo_s, axis=1)
+                    acc = jnp.where(hi_s == wi_ * 8 + s, cand, acc)
+            parts.append(acc)
+        out_ref[...] = jnp.concatenate(parts, axis=1) * valid_ref[...]
+
+    return kernel
+
+
+def apply_permute(plan: PermutePlan, src: jax.Array) -> jax.Array:
+    """out[i] = src[perm[i]] (f32), shape [n_out]."""
+    T, wblk = plan.num_chunks, plan.wblk
+    rows = -(-plan.src_len // 1024) * 8 + 8 * MAX_WBLK
+    sp = jnp.zeros(rows * 128, jnp.float32).at[: plan.src_len].set(
+        src.astype(jnp.float32)
+    )
+    s2d = sp.reshape(rows, 128)
+    win_specs = [
+        pl.BlockSpec(
+            (8, 128),
+            (lambda v, d: (lambda g, xtile: (xtile[g * NV + v] + d, 0)))(v, d),
+            memory_space=pltpu.VMEM,
+        )
+        for v in range(NV)
+        for d in range(wblk)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, 1024), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1024), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            *win_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 1024), lambda g, *_: (0, g), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _permute_kernel(wblk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, T * 1024), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(plan.xtile, plan.local, plan.valid, *([s2d] * (NV * wblk)))
+    # undo chunk-column-major: (sub, g*1024 + lane) holds e = lane*8 + sub
+    flat = out.reshape(8, T, 1024).transpose(1, 2, 0).reshape(-1)
+    return flat[: plan.n_out]

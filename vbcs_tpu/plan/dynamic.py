@@ -134,19 +134,80 @@ def _cost_closure(model, W: int, heights: np.ndarray | None):
     raise TypeError(f"unsupported cost model {type(model).__name__}")
 
 
+def _native_tables(model, W, heights):
+    """(alpha_tab, beta_tabs [R,W], gamma_tab|None, weights|None) for the
+    C++ DP, or None if the model shape isn't table-expressible."""
+    ws = np.arange(1, W + 1, dtype=np.float64)
+    if isinstance(model, ColumnBlockComponentCostModel):
+        return model.alpha_table(W), model.beta_table(W)[None, :], None, None
+    if isinstance(model, AffineConnectivityModel):
+        return (
+            model.alpha + model.beta_vertex * ws,
+            np.full((1, W), float(model.beta_net)),
+            np.full(W, float(model.beta_pin)),
+            None,
+        )
+    if isinstance(model, AffineFillNetCostModel):
+        return (
+            model.alpha + model.beta_vertex * ws,
+            (model.beta_net + model.beta_fill * ws)[None, :],
+            None,
+            None,
+        )
+    if isinstance(model, BlockComponentCostModel):
+        alpha = component_table(model.alpha_col, W)
+        betas = np.stack([component_table(c, W) for c in model.beta_col])
+        umax = int(heights.max(initial=1))
+        weights = np.stack(
+            [
+                np.concatenate([[0.0], component_table(c, umax)])[heights]
+                for c in model.beta_row
+            ]
+        )
+        return alpha, betas, None, weights
+    return None
+
+
 def dp_partition(
     A: CSC,
     model,
     W: int,
     row_partition: SplitPartition | None = None,
 ) -> SplitPartition:
-    """Run the split-point DP; returns the optimal column partition."""
+    """Run the split-point DP; returns the optimal column partition.
+
+    Uses the C++ implementation (vbcs_tpu.native) when available; the
+    NumPy path below is the bitwise oracle and fallback.
+    """
     if W < 1:
         raise ValueError(f"width cap W must be >= 1, got {W}")
     n, m = A.n, A.m
     if n == 0:
         return SplitPartition.whole(0)
     pos, idx = A.pos, A.idx
+
+    try:
+        from ..native import dp_partition_native
+
+        if isinstance(model, BlockComponentCostModel):
+            Pi0 = row_partition or SplitPartition.trivial(m)
+            grp = Pi0.to_map().asg[idx]
+            hts = Pi0.widths().astype(np.int64)
+            ng = len(Pi0)
+        else:
+            grp = idx
+            hts = None
+            ng = m
+        tabs = _native_tables(model, W, hts)
+        if tabs is not None:
+            alpha_tab, beta_tabs, gamma_tab, weights = tabs
+            spl = dp_partition_native(
+                n, ng, pos, grp, W, alpha_tab, beta_tabs, gamma_tab, weights
+            )
+            if spl is not None:
+                return SplitPartition(spl)
+    except Exception:
+        pass  # fall through to the NumPy oracle
 
     is_2d = isinstance(model, BlockComponentCostModel)
     if is_2d:
