@@ -379,8 +379,8 @@ def _class_kernel2(w: int, wblk: int, scan_steps: int, identity: bool):
         # ---- windowed gather: xg[8, NG] = x[row] ----------------------
         # row_ref holds pack-time local offsets into per-vreg windows.
         local = row_ref[...]  # [8, NG]
-        hi = jax.lax.shift_right_logical(local, 7)
-        lo = jax.lax.bitwise_and(local, 127)
+        hi = jax.lax.shift_right_logical(local, jnp.int32(7))
+        lo = jax.lax.bitwise_and(local, jnp.int32(127))
         xg_slices = []
         for v_ in range(nv):
             lo_s = lo[:, v_ * 128 : (v_ + 1) * 128]
@@ -427,8 +427,8 @@ def _class_kernel2(w: int, wblk: int, scan_steps: int, identity: bool):
             tot_parts = []
             for j in range(NS // 128):
                 ej = ends_all[:, j * 128 : (j + 1) * 128]  # [1, 128]
-                ehi = jax.lax.shift_right_logical(ej, 7)
-                elo = jax.lax.bitwise_and(ej, 127)
+                ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
+                elo = jax.lax.bitwise_and(ej, jnp.int32(127))
                 elo_b = jnp.broadcast_to(elo, (w, 128))
                 acc = jnp.zeros((w, 128), jnp.float32)
                 for i in range(nv):

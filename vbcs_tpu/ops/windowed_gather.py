@@ -115,8 +115,8 @@ def _permute_kernel(wblk: int):
         win_refs = rest[: NV * wblk]
         out_ref = rest[NV * wblk]
         local = local_ref[...]  # [8, 1024]
-        hi = jax.lax.shift_right_logical(local, 7)
-        lo = jax.lax.bitwise_and(local, 127)
+        hi = jax.lax.shift_right_logical(local, jnp.int32(7))
+        lo = jax.lax.bitwise_and(local, jnp.int32(127))
         parts = []
         for v_ in range(NV):
             lo_s = lo[:, v_ * 128 : (v_ + 1) * 128]
