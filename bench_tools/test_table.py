@@ -1,0 +1,137 @@
+"""Method-comparison benchmark harness — the TPU analog of the
+reference's ``bin/test_table.jl``: per matrix, a table of
+method x {setup time, memory bytes, runtime, model-predicted cost}.
+
+Usage:
+  python bench_tools/test_table.py [--matrix NAME|synthetic] [--w 8]
+
+Columns (mirroring bin/test_table.jl:129):
+  method      planner used (CSC baseline first)
+  setup_s     plan + pack wall time (host)
+  memory_B    packed format bytes (host layout)
+  runtime_us  one TrSpMV on the TPU (difference-method timing)
+  model       model-predicted cost for the chosen partition
+              (min-memory model value; reference prints its time model)
+  gnnz_s      achieved Gnnz/s
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def measure_runtime_tpu(build_chain, nnz, lo=20, hi=120, reps=6):
+    from vbcs_tpu.utils.timing import periter
+
+    return periter(build_chain, lo, hi, reps=reps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--matrix", default="synthetic")
+    ap.add_argument("--w", type=int, default=8)
+    ap.add_argument("--no-time-model", action="store_true")
+    ap.add_argument("--no-csc", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import vbcs_tpu as v
+    from vbcs_tpu.models import autotune
+    from vbcs_tpu.ops import pallas_trspmv2 as pk2
+    from bench import blocky_matrix
+
+    if args.matrix == "synthetic":
+        A_sp = blocky_matrix()
+        name = "synthetic ct20stif-like (banded blocky)"
+    else:
+        from corpus import load_corpus
+
+        A_sp = load_corpus()[args.matrix].astype(np.float64)
+        name = args.matrix
+
+    A = v.CSC.from_scipy(A_sp)
+    W = args.w
+    nnz = A.nnz
+    print(f"\n=== {name}  {A.m}x{A.n}  nnz={nnz} ===")
+
+    mdl_blocks = v.model_1dvbc_blocks()
+    mdl_memory = v.model_1dvbc_memory(4, 8)  # f32 values, int64 host idx
+    methods = [
+        ("strict", v.StrictChunker(W)),
+        ("overlap 0.9", v.OverlapChunker(0.9, W)),
+        ("min blocks", v.DynamicTotalChunker(
+            v.ConstrainedCost(mdl_blocks, v.VertexCount(), W))),
+        ("min memory", v.DynamicTotalChunker(mdl_memory, W)),
+    ]
+    if not args.no_time_model:
+        try:
+            mdl_time = autotune.model_1dvbc_trspmv_time(W)
+            methods.append(("min time (autotuned)",
+                            v.DynamicTotalChunker(mdl_time, W)))
+        except Exception as e:
+            print(f"[autotune unavailable: {e}]")
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(A.m), jnp.float32
+    )
+    want = A_sp.T.astype(np.float64) @ np.asarray(x, np.float64)
+
+    rows = []
+    # CSC device baseline (reference src/TrSpMV.jl analog)
+    from vbcs_tpu.ops import csr as csr_ops
+
+    cdev = csr_ops.CSCDevice.from_host(A, dtype=np.float32)
+    if A.m == A.n and not args.no_csc:
+        def mk_csc(n_):
+            def f(x0):
+                def body(i, xc):
+                    return csr_ops.csc_tr_spmv(cdev, xc) * jnp.float32(0.999)
+                return jax.lax.fori_loop(0, n_, body, x0)[0]
+            g = jax.jit(f)
+            return lambda: g(x)
+        # XLA CSC baseline is ~0.1 Gnnz/s (scatter-bound) — short chain
+        t_csc = measure_runtime_tpu(mk_csc, nnz, lo=1, hi=4, reps=3)
+    else:
+        t_csc = float("nan")
+    rows.append(("CSC baseline", 0.0, A.memory_bytes(), t_csc, float("nan")))
+
+    for label, method in methods:
+        t0 = time.perf_counter()
+        Phi = v.pack_stripe(A, method)
+        B = v.vbc1d(A, W, Phi)
+        setup = time.perf_counter() - t0
+        fmt = pk2.pack_stream2(B)
+        y = np.asarray(pk2.tr_spmv_pallas2(fmt, x), np.float64)
+        assert np.allclose(y, want, rtol=1e-4, atol=1e-4 * max(1, np.abs(want).max())), label
+        if A.m == A.n:
+            def mk(n_):
+                def f(x0):
+                    def body(i, xc):
+                        return pk2.tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
+                    return jax.lax.fori_loop(0, n_, body, x0)[0]
+                g = jax.jit(f)
+                return lambda: g(x)
+            t_run = measure_runtime_tpu(mk, nnz)
+        else:
+            t_run = float("nan")
+        model_val = v.total_value(A, Phi, mdl_memory)
+        rows.append((label, setup, B.memory_bytes(), t_run, model_val))
+
+    print(f"{'method':24s} {'setup_s':>8s} {'memory_B':>12s} "
+          f"{'runtime_us':>11s} {'gnnz_s':>7s} {'model':>12s}")
+    for label, setup, mem, t_run, model_val in rows:
+        g = nnz / t_run / 1e9 if t_run == t_run else float("nan")
+        print(f"{label:24s} {setup:8.3f} {mem:12d} "
+              f"{t_run*1e6:11.1f} {g:7.2f} {model_val:12.0f}")
+
+
+if __name__ == "__main__":
+    main()

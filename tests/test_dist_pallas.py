@@ -1,0 +1,71 @@
+"""Distributed Pallas TrSpMV over the 8-device CPU mesh (interpret)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+from jax.sharding import Mesh
+
+import vbcs_tpu as v
+from vbcs_tpu.ops import pallas_trspmv2 as pk2
+from vbcs_tpu.ops import windowed_gather as wg
+from vbcs_tpu.parallel import pallas_spmv as dps
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk2.pl, "pallas_call", patched)
+    monkeypatch.setattr(wg.pl, "pallas_call", patched)
+    yield
+
+
+def banded(m, n, d, band, seed):
+    r = np.random.default_rng(seed)
+    rows = np.clip(
+        (np.arange(n) * m // n)[:, None] + r.integers(-band, band, (n, d)),
+        0,
+        m - 1,
+    )
+    cols = np.repeat(np.arange(n), d)
+    return sp.coo_matrix(
+        (r.standard_normal(n * d), (rows.reshape(-1), cols)), shape=(m, n)
+    ).tocsc()
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_dist_pallas_matches_scipy(ndev):
+    A = banded(4000, 4096, 6, 300, 1)
+    B = v.vbc1d(A, 8, v.EquiChunker(4))
+    fmt = pk2.pack_stream2(B)
+    assert fmt.fallback is None
+    sfmt = dps.shard_stream(fmt, ndev)
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("d",))
+    sfmt = dps.place(sfmt, mesh)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(A.shape[0]), jnp.float32
+    )
+    y = np.asarray(dps.dist_tr_spmv_pallas(sfmt, x, mesh))
+    want = (A.T @ np.asarray(x)).astype(np.float32)
+    np.testing.assert_allclose(
+        y / np.abs(want).max(), want / np.abs(want).max(), atol=1e-5
+    )
+
+
+def test_shard_ranges_respect_straddles():
+    straddle = np.array([0, 1, 0, 0, 1, 1, 0, 0], dtype=np.int32)
+    ranges = dps._split_ranges(8, straddle, 3)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 8
+    for (g0, g1), (h0, h1) in zip(ranges, ranges[1:]):
+        assert g1 == h0
+        if h0 > 0:
+            assert straddle[h0 - 1] == 0  # cut only at carry-free points

@@ -1,0 +1,95 @@
+"""VBCOperator API (XLA fallback path on CPU) and row reordering."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from corpus import load_corpus
+from vbcs_tpu import CSC
+from vbcs_tpu.operator import VBCOperator
+from vbcs_tpu.plan.reorder import profile_rows, rcm_rows
+
+CORPUS = load_corpus()
+
+
+def test_operator_both_directions():
+    A = CORPUS["LPnetlib/lp_blend"].astype(np.float64)
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    xf = rng.standard_normal(A.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(op.tr_mul(jnp.asarray(x))), A.T @ x, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.mul(jnp.asarray(xf))), A @ xf, rtol=1e-5, atol=1e-5
+    )
+    # host oracles agree
+    np.testing.assert_allclose(op.host_tr_mul(x), A.T @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.host_mul(xf), A @ xf, rtol=1e-12)
+    assert op.memory_bytes() > 0
+
+
+def test_operator_spmm():
+    A = CORPUS["LPnetlib/lpi_itest6"].astype(np.float64)
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False)
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((A.shape[0], 5))
+    Xf = rng.standard_normal((A.shape[1], 5))
+    np.testing.assert_allclose(
+        np.asarray(op.tr_mul_mat(jnp.asarray(X))), A.T @ X, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.mul_mat(jnp.asarray(Xf))), A @ Xf, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_operator_single_direction_errors():
+    A = CORPUS["LPnetlib/lpi_itest6"]
+    op = VBCOperator.from_csc(A, W=4, directions="transposed", use_pallas=False)
+    try:
+        op.mul(jnp.zeros(A.shape[1]))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_profile_rows_reduces_bandwidth():
+    rng = np.random.default_rng(2)
+    n = 400
+    perm0 = rng.permutation(n)
+    # banded matrix scrambled by a random row permutation
+    diags = sp.diags(
+        [np.ones(n - d) for d in range(4)], offsets=list(range(4)), shape=(n, n)
+    ).tocsc()
+    A = CSC.from_scipy(diags[perm0, :])
+
+    def bandwidth(C):
+        S = C.to_scipy().tocoo()
+        return int(np.abs(S.row - S.col).max())
+
+    B, perm = profile_rows(A)
+    assert bandwidth(B) < bandwidth(A) / 4
+    # semantics: A.T @ x == B.T @ x[perm]
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        A.to_scipy().T @ x, B.to_scipy().T @ x[perm], rtol=1e-12
+    )
+
+
+def test_rcm_rows_semantics():
+    A = CSC.from_scipy(CORPUS["HB/can_292"].astype(np.float64))
+    B, perm = rcm_rows(A)
+    x = np.random.default_rng(4).standard_normal(A.m)
+    np.testing.assert_allclose(
+        A.to_scipy().T @ x, B.to_scipy().T @ x[perm], rtol=1e-12
+    )
+
+
+def test_profile_rows_rectangular():
+    A = CSC.from_scipy(CORPUS["LPnetlib/lp_etamacro"])
+    B, perm = profile_rows(A)
+    x = np.random.default_rng(3).standard_normal(A.m)
+    np.testing.assert_allclose(
+        A.to_scipy().T @ x, B.to_scipy().T @ x[perm], rtol=1e-12
+    )

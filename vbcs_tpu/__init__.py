@@ -50,7 +50,10 @@ from .plan.alternating import (
     pack_plaid,
     pack_stripe,
 )
+from .operator import VBCOperator
 from .plan.chunkers import EquiChunker, OverlapChunker, StrictChunker
 from .plan.dynamic import DynamicTotalChunker
+from .plan.jax_dp import dp_partition_jit
+from .plan.reorder import profile_rows, rcm_rows
 
 __version__ = "0.1.0"

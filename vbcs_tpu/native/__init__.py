@@ -74,6 +74,10 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64, i64p, i64p, f64p,
             ctypes.c_int64, i64p, i64p, i64p, i64p, f64p,
         ]
+        lib.overlap_chunk.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_double, ctypes.c_int64,
+            i64p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -153,3 +157,19 @@ def pack_1dvbc_native(m, n, pos, idx, val, spl):
         _p64(spl), _p64(bpos), _p64(bofs), _p64(out_idx), _pf64(out_val),
     )
     return bpos, out_idx, bofs, out_val
+
+
+def overlap_chunk_native(n, pos, idx, rho, w_max):
+    """Native greedy overlap chunker; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    out_spl = np.zeros(n + 2, dtype=np.int64)
+    out_len = np.zeros(1, dtype=np.int64)
+    lib.overlap_chunk(
+        int(n), _p64(pos), _p64(idx), float(rho), int(w_max),
+        _p64(out_spl), _p64(out_len),
+    )
+    return out_spl[: int(out_len[0])]

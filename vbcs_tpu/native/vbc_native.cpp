@@ -175,3 +175,50 @@ void pack_1dvbc_fill(int64_t m, int64_t n, const int64_t* pos,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Greedy overlap chunker (reference OverlapChunker(rho, w_max)): a
+// column joins the current stripe when |rows(c) & rows(c0)| >=
+// rho * max(|rows(c)|, |rows(c0)|) against the stripe's leading column.
+// Writes split points; returns count via out_len.
+void overlap_chunk(int64_t n, const int64_t* pos, const int64_t* idx,
+                   double rho, int64_t w_max, int64_t* out_spl,
+                   int64_t* out_len) {
+  int64_t count = 0;
+  out_spl[count++] = 0;
+  if (n == 0) {
+    *out_len = count;
+    return;
+  }
+  int64_t c0 = 0;
+  for (int64_t c = 1; c < n; ++c) {
+    const int64_t width = c - c0;
+    bool ok = false;
+    if (width < w_max) {
+      const int64_t a0 = pos[c0], a1 = pos[c0 + 1];
+      const int64_t b0 = pos[c], b1 = pos[c + 1];
+      const int64_t la = a1 - a0, lb = b1 - b0;
+      const int64_t denom = la > lb ? la : lb;
+      if (denom == 0) {
+        ok = true;  // two empty columns always merge
+      } else {
+        int64_t i = a0, j = b0, inter = 0;
+        while (i < a1 && j < b1) {
+          if (idx[i] < idx[j]) ++i;
+          else if (idx[i] > idx[j]) ++j;
+          else { ++inter; ++i; ++j; }
+        }
+        ok = static_cast<double>(inter) >= rho * static_cast<double>(denom);
+      }
+    }
+    if (!ok) {
+      out_spl[count++] = c;
+      c0 = c;
+    }
+  }
+  out_spl[count++] = n;
+  *out_len = count;
+}
+
+}  // extern "C"

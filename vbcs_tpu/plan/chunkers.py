@@ -47,13 +47,29 @@ class StrictChunker:
             return SplitPartition.whole(0)
         pos, idx = A.pos, A.idx
         lens = np.diff(pos)
-        # new_stripe[c] = True if column c cannot merge with column c-1
+        # new_stripe[c] = True if column c cannot merge with column c-1.
+        # Vectorized: columns of equal length whose index runs are
+        # element-wise equal when column c is compared against column
+        # c-1 shifted by len (valid only when lens match).
         new_stripe = np.ones(n, dtype=bool)
-        for c in range(1, n):
-            if lens[c] == lens[c - 1] and np.array_equal(
-                idx[pos[c] : pos[c + 1]], idx[pos[c - 1] : pos[c]]
-            ):
-                new_stripe[c] = False
+        if n > 1:
+            same_len = lens[1:] == lens[:-1]
+            # element-wise equality of idx[pos[c]:pos[c+1]] with the
+            # previous column: idx[q] == idx[q - lens[c]] for q in col c
+            shifted_eq = np.zeros(idx.size, dtype=bool)
+            if idx.size:
+                col_of_nz = np.repeat(np.arange(n), lens)
+                shift = lens[col_of_nz]
+                q = np.arange(idx.size)
+                ok = q - shift >= 0
+                shifted_eq[ok] = idx[q[ok]] == idx[q[ok] - shift[ok]]
+                # column c matches c-1 iff all its entries match
+                mism = np.zeros(n, dtype=np.int64)
+                np.add.at(mism, col_of_nz, (~shifted_eq).astype(np.int64))
+                all_eq = mism[1:] == 0
+                new_stripe[1:] = ~(same_len & all_eq)
+            else:
+                new_stripe[1:] = ~same_len
         return _runs_to_partition(new_stripe, self.w_max)
 
 
@@ -78,6 +94,14 @@ class OverlapChunker:
         if n == 0:
             return SplitPartition.whole(0)
         pos, idx = A.pos, A.idx
+        try:
+            from ..native import overlap_chunk_native
+
+            spl = overlap_chunk_native(n, pos, idx, self.rho, self.w_max)
+            if spl is not None:
+                return SplitPartition(spl)
+        except Exception:
+            pass
         splits = [0]
         c0 = 0
         head = idx[pos[0] : pos[1]]
