@@ -103,6 +103,13 @@ def main():
         t_csc = float("nan")
     rows.append(("CSC baseline", 0.0, A.memory_bytes(), t_csc, float("nan")))
 
+    methods_2d = [
+        ("strict 2D", v.AlternatingPacker(v.StrictChunker(W), v.StrictChunker(W))),
+        ("overlap 2D 0.7", v.AlternatingPacker(
+            v.OverlapChunker(0.7, W), v.OverlapChunker(0.7, W))),
+        ("dynamic memory 2D", v.default_2d_partitioner(W, W, 4, 8)),
+    ]
+
     for label, method in methods:
         t0 = time.perf_counter()
         Phi = v.pack_stripe(A, method)
@@ -124,6 +131,30 @@ def main():
             t_run = float("nan")
         model_val = v.total_value(A, Phi, mdl_memory)
         rows.append((label, setup, B.memory_bytes(), t_run, model_val))
+
+    for label, method in methods_2d:
+        t0 = time.perf_counter()
+        B2 = v.vbc2d(A, W, W, method)
+        setup = time.perf_counter() - t0
+        B = B2.to_1d_view()
+        fmt = pk2.pack_stream2(B)
+        y = np.asarray(pk2.tr_spmv_pallas2(fmt, x), np.float64)
+        assert np.allclose(y, want, rtol=1e-4, atol=1e-4 * max(1, np.abs(want).max())), label
+        if A.m == A.n:
+            def mk(n_):
+                def f(x0):
+                    def body(i, xc):
+                        return pk2.tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
+                    return jax.lax.fori_loop(0, n_, body, x0)[0]
+                g = jax.jit(f)
+                return lambda: g(x)
+            t_run = measure_runtime_tpu(mk, nnz)
+        else:
+            t_run = float("nan")
+        mdl2 = v.model_vbc_memory(4, 8)
+        model_val = (v.total_value(A, B2.Phi, mdl2, Pi=B2.Pi)
+                     + v.row_component_value(B2.Pi, mdl2))
+        rows.append((label, setup, B2.memory_bytes(), t_run, model_val))
 
     print(f"{'method':24s} {'setup_s':>8s} {'memory_B':>12s} "
           f"{'runtime_us':>11s} {'gnnz_s':>7s} {'model':>12s}")

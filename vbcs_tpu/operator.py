@@ -158,31 +158,23 @@ class VBCOperator:
     def tr_mul_mat(self, X):
         """Y = A.T @ X (dense RHS [m, k]).
 
-        v1: k-column loop over the stream kernel (value stream re-read
-        per column; k-tiled fused kernel is the planned optimization).
+        k-tiled Pallas kernel: each pass streams the block values once
+        against KT RHS columns (ops/pallas_spmm.py).
         """
-        import jax.numpy as jnp
-
         if self.use_pallas:
-            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+            from .ops.pallas_spmm import tr_spmm_pallas
 
-            fmt = self._pallas_tr()
-            cols = [tr_spmv_pallas2(fmt, X[:, k]) for k in range(X.shape[1])]
-            return jnp.stack(cols, axis=1)
+            return tr_spmm_pallas(self._pallas_tr(), X)
         from .ops.xla import tr_spmm
 
         return tr_spmm(self._xla_tr(), X)
 
     def mul_mat(self, X):
         """Y = A @ X (dense RHS [n, k])."""
-        import jax.numpy as jnp
-
         if self.use_pallas:
-            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+            from .ops.pallas_spmm import tr_spmm_pallas
 
-            fmt = self._pallas_fw()
-            cols = [tr_spmv_pallas2(fmt, X[:, k]) for k in range(X.shape[1])]
-            return jnp.stack(cols, axis=1)
+            return tr_spmm_pallas(self._pallas_fw(), X)
         from .ops.xla import tr_spmm
 
         return tr_spmm(self._xla_fw(), X)  # (A.T).T @ X == A @ X
