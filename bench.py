@@ -111,7 +111,7 @@ def main():
             def body(i, acc):
                 c = fmt.classes[0]
                 out = pk2._run_class2(c, x2d * (1.0 + acc * 1e-30))
-                return out[0, 0]
+                return out[0]
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
 

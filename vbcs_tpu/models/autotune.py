@@ -121,7 +121,7 @@ def autotune_1dvbc_trspmv(
                 def f(x2d):
                     def body(i, acc):
                         out = pk2._run_class2(c0, x2d * (1.0 + acc * 1e-30))
-                        return out[0, 0]
+                        return out[0]
 
                     return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
 

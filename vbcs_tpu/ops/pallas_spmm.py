@@ -159,7 +159,10 @@ def _run_class_spmm(c: pk2.StreamClass2, xt2d: jax.Array, rows: int):
         pl.BlockSpec(
             (8, 128),
             (lambda kk, v, d: (
-                lambda g, xtile, *_: (kk * rb + xtile[g * nv + v] + d, 0)
+                lambda g, xtile, *_: (
+                    kk * rb + xtile[(g * nv + v) * wblk + d],
+                    0,
+                )
             ))(kk, v, d),
             memory_space=pltpu.VMEM,
         )

@@ -28,6 +28,14 @@ gather/scatter/segment-sum lower to ~per-element loops):
   merged into the chunk where the stripe ends, so every stripe's total
   lands in exactly one slot.  Natural-order y is a static permutation
   (pack-time); chained SpMV can stay in slot space.
+* **Transposed (slot-major) output store** — classes with ``w > 1``
+  transpose ``tot`` in-register and store ``[NS, w]`` blocks, so the
+  flat HBM output is already slot-major ``(slot, wi)`` — the layout the
+  slot→natural permutation consumes.  This removes a full XLA transpose
+  pass (~26us/iter measured on v5e for the flagship matrix); when the
+  slot→natural map is the identity (stripes in natural order, single
+  class), the kernel output *is* y and the permutation is skipped
+  entirely (``StreamFormat2.natural``).
 
 Classes whose chunks violate the x-window bound fall back to the v1
 MXU one-hot kernel (pre-gathered x).  The x-span is a TPU-specific
@@ -91,13 +99,14 @@ class StreamClass2:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["classes", "y_perm", "fallback", "y_plan"],
-    meta_fields=["m", "n", "total_slots"],
+    meta_fields=["m", "n", "total_slots", "natural"],
 )
 @dataclasses.dataclass(frozen=True)
 class StreamFormat2:
     m: int
     n: int
     total_slots: int
+    natural: bool  # slot order == natural order: y = slots[:n]
     classes: tuple
     fallback: object  # v1 StreamFormat or None
     y_perm: jax.Array  # [n] int32 into [v2 slots | v1 slots]
@@ -178,25 +187,38 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
     vbase = ofs0[blk_stripe] + np.minimum(blk_in_stripe, nb[blk_stripe] - 1) * w
 
     # ---- per-(chunk, vreg) window bases & locality ----------------------
+    # Each vreg (128 lane-groups) gets up to MAX_WBLK *independent*
+    # aligned 1024-element x windows — the locality requirement is "rows
+    # fall in <= MAX_WBLK distinct aligned tiles per vreg", far weaker
+    # than a contiguous span bound, and banded matrices need one fewer
+    # window (less gather work) than with consecutive windows.
     nv = NG // 128
     blk_chunk = grp_chunk[blk_grp]
     blk_vreg = blk_chunk * nv + (grp_col[blk_grp] % NG) // 128
-    rmin = np.full(T * nv, np.iinfo(np.int64).max)
-    rmax = np.full(T * nv, -1, dtype=np.int64)
-    if real.any():
-        np.minimum.at(rmin, blk_vreg[real], rows_full[real])
-        np.maximum.at(rmax, blk_vreg[real], rows_full[real])
-    rmin[rmax < 0] = 0
-    rmax[rmax < 0] = 0
-    aligned_span = rmax - (rmin // 1024) * 1024 + 1
-    wblk = int(max(1, -(-int(aligned_span.max()) // 1024)))
+    tile_of_blk = rows_full >> 10
+    ntile_tot = int(tile_of_blk.max(initial=0)) + 1
+    pair = blk_vreg * ntile_tot + tile_of_blk
+    uniq = np.unique(pair[real]) if real.any() else np.zeros(0, np.int64)
+    uv = uniq // ntile_tot
+    ut = uniq % ntile_tot
+    counts = np.bincount(uv, minlength=T * nv)
+    wblk = int(max(1, counts.max(initial=1)))
     if wblk > MAX_WBLK:
         return None, None, False
-    xtile = (rmin // 1024).astype(np.int32)  # [T*nv]
+    start = np.zeros(T * nv + 1, dtype=np.int64)
+    np.cumsum(counts, out=start[1:])
+    d_of_uniq = np.arange(uniq.size) - start[uv]
+    xtile = np.zeros((T * nv, wblk), dtype=np.int32)
+    xtile[uv, d_of_uniq] = ut
+    xtile = xtile.reshape(-1)  # [T*nv*wblk], window d of vreg v at v*wblk+d
 
-    base_of_blk = (xtile.astype(np.int64) * 1024)[blk_vreg]
-    # store rows as LOCAL offsets into the per-vreg window
-    rows_full = np.where(real, rows_full - base_of_blk, 0)
+    if real.any():
+        u_idx = np.searchsorted(uniq, pair)
+        d_blk = np.where(real, d_of_uniq[np.minimum(u_idx, uniq.size - 1)], 0)
+    else:
+        d_blk = np.zeros_like(rows_full)
+    # store rows as LOCAL offsets: window slot d*1024 + row % 1024
+    rows_full = np.where(real, d_blk * 1024 + (rows_full & 1023), 0)
 
     # ---- materialize arrays --------------------------------------------
     val_i = np.zeros((8 * w, T * NG), dtype=np.float32)
@@ -293,12 +315,14 @@ def pack_stream2(B: VBC1D) -> StreamFormat2:
         flat_base += int(fb.total_slots)
         fallback = fb
 
-    y_plan = wg.pack_permute(y_perm, max(1, flat_base))
+    natural = bool(np.array_equal(y_perm, np.arange(B.n)))
+    y_plan = None if natural else wg.pack_permute(y_perm, max(1, flat_base))
     return jax.device_put(
         StreamFormat2(
             m=B.m,
             n=B.n,
             total_slots=flat_base,
+            natural=natural,
             classes=tuple(classes),
             fallback=fallback,
             y_perm=y_perm.astype(np.int32),
@@ -361,7 +385,9 @@ def _subset_vbc(B: VBC1D, stripe_ids) -> _Subset:
     return _Subset(B=sub, cols=cols)
 
 
-def _class_kernel2(w: int, wblk: int, scan_steps: int, identity: bool):
+def _class_kernel2(
+    w: int, wblk: int, scan_steps: int, identity: bool, nat_out: bool = False
+):
     nv = NG // 128  # lane vregs per chunk
 
     def kernel(xtile_ref, nslots_ref, straddle_ref, val_ref, row_ref,
@@ -460,23 +486,47 @@ def _class_kernel2(w: int, wblk: int, scan_steps: int, identity: bool):
         is_str = straddle_ref[g] == 1
         carry[:w, 0:1] = jnp.where(is_str, carry_new, 0.0)
 
-        out_ref[...] = tot
+        # Transposed [NS, w] store: flat HBM order becomes slot-major
+        # (slot, wi) — the natural order within the class, no XLA
+        # transpose needed downstream.  The in-register transpose +
+        # strided DMA measured ~7us/chunk-grid vs ~26us for the XLA
+        # transpose pass it replaces (v5e, 40-chunk flagship).
+        out_ref[...] = tot.T if nat_out else tot
 
     return kernel
 
 
 def _run_class2(c: StreamClass2, x2d: jax.Array) -> jax.Array:
+    """Run one width class; returns flat slot-major output [T*NS*w]."""
     w, T, wblk = c.w, c.num_chunks, c.wblk
     nv = NG // 128
+    nat_out = w > 1  # w==1: [1, T*NS] flat is already slot order
     win_specs = [
         pl.BlockSpec(
             (8, 128),
-            (lambda v, d: (lambda g, xtile, *_: (xtile[g * nv + v] + d, 0)))(v, d),
+            (
+                lambda v, d: (
+                    lambda g, xtile, *_: (
+                        xtile[(g * nv + v) * wblk + d],
+                        0,
+                    )
+                )
+            )(v, d),
             memory_space=pltpu.VMEM,
         )
         for v in range(nv)
         for d in range(wblk)
     ]
+    if nat_out:
+        out_spec = pl.BlockSpec(
+            (NS, w), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((T * NS, w), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (w, NS), lambda g, *_: (0, g), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((w, T * NS), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -487,15 +537,13 @@ def _run_class2(c: StreamClass2, x2d: jax.Array) -> jax.Array:
             pl.BlockSpec((1, NS), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
             *win_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (w, NS), lambda g, *_: (0, g), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
     )
-    return pl.pallas_call(
-        _class_kernel2(w, wblk, c.scan_steps, c.identity),
+    out = pl.pallas_call(
+        _class_kernel2(w, wblk, c.scan_steps, c.identity, nat_out),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((w, T * NS), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -509,6 +557,7 @@ def _run_class2(c: StreamClass2, x2d: jax.Array) -> jax.Array:
         c.ends,
         *([x2d] * ((NG // 128) * wblk)),
     )
+    return out.reshape(-1)
 
 
 def _x_2d(x: jax.Array, m: int) -> jax.Array:
@@ -521,22 +570,26 @@ def _x_2d(x: jax.Array, m: int) -> jax.Array:
 def tr_spmv_slots(fmt: StreamFormat2, x: jax.Array) -> jax.Array:
     """Slot-space TrSpMV (no final permutation)."""
     x2d = _x_2d(x, fmt.m)
-    outs = []
-    for c in fmt.classes:
-        out = _run_class2(c, x2d)  # [w, T*NS]
-        outs.append(out.T.reshape(-1))
+    outs = [_run_class2(c, x2d) for c in fmt.classes]  # flat slot-major
     if fmt.fallback is not None:
         for c in fmt.fallback.classes:
             xg = x[c.row]
             out = v1._run_class(c, xg.astype(jnp.float32))
             outs.append(out.T.reshape(-1))
-    return jnp.concatenate(outs) if outs else jnp.zeros(0, jnp.float32)
+    if not outs:
+        return jnp.zeros(0, jnp.float32)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def tr_spmv_pallas2(fmt: StreamFormat2, x: jax.Array) -> jax.Array:
-    """y = A.T @ x in natural order (Pallas windowed permute when the
-    slot->natural map is local; XLA gather fallback otherwise)."""
+    """y = A.T @ x in natural order.
+
+    Fast paths in order: identity slot map (kernel output *is* y),
+    Pallas windowed permute when the slot->natural map is local, XLA
+    gather fallback otherwise."""
     slots = tr_spmv_slots(fmt, x)
+    if fmt.natural:
+        return slots[: fmt.n]
     if fmt.y_plan is not None:
         return wg.apply_permute(fmt.y_plan, slots)
     return slots[fmt.y_perm]

@@ -64,23 +64,36 @@ def pack_permute(perm: np.ndarray, src_len: int) -> PermutePlan | None:
     vmask = np.zeros(T * CO, dtype=np.float32)
     vmask[:n] = 1.0
 
-    # segment = 1024 consecutive outputs = one vreg
+    # segment = 1024 consecutive outputs = one vreg; each segment gets
+    # up to MAX_WBLK *independent* aligned 1024-element source tiles
+    # (weaker than a contiguous-span bound; fewer windows for banded maps)
     nseg = T * NV
     seg_vals = pp.reshape(nseg, 1024)
     seg_mask = vmask.reshape(nseg, 1024) > 0
-    big = np.iinfo(np.int64).max
-    rmin = np.min(np.where(seg_mask, seg_vals, big), axis=1)
-    rmax = np.max(np.where(seg_mask, seg_vals, -1), axis=1)
-    rmin = np.where(rmax < 0, 0, rmin)
-    rmax = np.where(rmax < 0, 0, rmax)
-    span = rmax - (rmin // 1024) * 1024 + 1
-    wblk = int(max(1, -(-int(span.max()) // 1024)))
+    seg_id = np.broadcast_to(np.arange(nseg)[:, None], seg_vals.shape)
+    tiles = seg_vals >> 10
+    ntile_tot = int(tiles.max(initial=0)) + 1
+    pair = (seg_id.astype(np.int64) * ntile_tot + tiles)[seg_mask]
+    uniq = np.unique(pair)
+    uv = uniq // ntile_tot
+    ut = uniq % ntile_tot
+    counts = np.bincount(uv, minlength=nseg)
+    wblk = int(max(1, counts.max(initial=1)))
     if wblk > MAX_WBLK:
         return None
-    xtile = (rmin // 1024).astype(np.int32)  # [T*NV]
+    start = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(counts, out=start[1:])
+    d_of_uniq = np.arange(uniq.size) - start[uv]
+    xtile = np.zeros((nseg, wblk), dtype=np.int32)
+    xtile[uv, d_of_uniq] = ut
+    xtile = xtile.reshape(-1)  # [nseg*wblk]
 
-    base = (xtile.astype(np.int64) * 1024)[:, None]
-    local_seg = np.where(seg_mask, seg_vals - base, 0).astype(np.int32)
+    pair_full = seg_id.astype(np.int64) * ntile_tot + tiles
+    u_idx = np.minimum(np.searchsorted(uniq, pair_full), max(uniq.size - 1, 0))
+    d_seg = np.where(seg_mask, d_of_uniq[u_idx] if uniq.size else 0, 0)
+    local_seg = np.where(
+        seg_mask, d_seg * 1024 + (seg_vals & 1023), 0
+    ).astype(np.int32)
 
     # chunk-column-major placement: element e of chunk g ->
     # (sublane e % 8, lane g*1024 + e // 8); within segment v of chunk g,
@@ -118,6 +131,7 @@ def _permute_kernel(wblk: int):
         hi = jax.lax.shift_right_logical(local, jnp.int32(7))
         lo = jax.lax.bitwise_and(local, jnp.int32(127))
         parts = []
+        valid = valid_ref[...]
         for v_ in range(NV):
             lo_s = lo[:, v_ * 128 : (v_ + 1) * 128]
             hi_s = hi[:, v_ * 128 : (v_ + 1) * 128]
@@ -128,8 +142,12 @@ def _permute_kernel(wblk: int):
                     tbl = jnp.broadcast_to(wv[s : s + 1, :], (8, 128))
                     cand = jnp.take_along_axis(tbl, lo_s, axis=1)
                     acc = jnp.where(hi_s == wi_ * 8 + s, cand, acc)
-            parts.append(acc)
-        out_ref[...] = jnp.concatenate(parts, axis=1) * valid_ref[...]
+            acc = acc * valid[:, v_ * 128 : (v_ + 1) * 128]
+            # (sub, lane) holds element v_*1024 + lane*8 + sub of this
+            # chunk; transpose so the [128, 8] store is flat in element
+            # order — no XLA transpose pass after the kernel.
+            parts.append(acc.T)
+        out_ref[...] = jnp.concatenate(parts, axis=0)  # [1024, 8]
 
     return kernel
 
@@ -145,7 +163,11 @@ def apply_permute(plan: PermutePlan, src: jax.Array) -> jax.Array:
     win_specs = [
         pl.BlockSpec(
             (8, 128),
-            (lambda v, d: (lambda g, xtile: (xtile[g * NV + v] + d, 0)))(v, d),
+            (
+                lambda v, d: (
+                    lambda g, xtile: (xtile[(g * NV + v) * wblk + d], 0)
+                )
+            )(v, d),
             memory_space=pltpu.VMEM,
         )
         for v in range(NV)
@@ -160,17 +182,16 @@ def apply_permute(plan: PermutePlan, src: jax.Array) -> jax.Array:
             *win_specs,
         ],
         out_specs=pl.BlockSpec(
-            (8, 1024), lambda g, *_: (0, g), memory_space=pltpu.VMEM
+            (1024, 8), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
         _permute_kernel(wblk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, T * 1024), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T * 1024, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(plan.xtile, plan.local, plan.valid, *([s2d] * (NV * wblk)))
-    # undo chunk-column-major: (sub, g*1024 + lane) holds e = lane*8 + sub
-    flat = out.reshape(8, T, 1024).transpose(1, 2, 0).reshape(-1)
-    return flat[: plan.n_out]
+    # transposed store: flat order is already element order
+    return out.reshape(-1)[: plan.n_out]

@@ -175,7 +175,7 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
                 row_i=take(c.row_i, NG),
                 gseg=take(c.gseg, NG),
                 ends=take(c.ends, NS),
-                xtile=take(c.xtile, NG // 128),  # per-(chunk, vreg) bases
+                xtile=take(c.xtile, (NG // 128) * c.wblk),  # per-(chunk, vreg, win) bases
                 nslots=take(c.nslots, 1),
                 straddle=take(c.straddle, 1),
             )
@@ -257,8 +257,8 @@ def dist_tr_spmv_pallas(
                 straddle=c.straddle[0],
             )
             x2d = pk2._x_2d(x_rep, sfmt.m)
-            out = pk2._run_class2(local_cls, x2d)  # [w, Td*NS]
-            outs.append(out.T.reshape(-1))
+            out = pk2._run_class2(local_cls, x2d)  # flat slot-major
+            outs.append(out)
         return jnp.concatenate(outs)[None, :]  # [1, slots_per_dev]
 
     class_specs = tuple(
