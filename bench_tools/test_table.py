@@ -109,6 +109,25 @@ def main():
             v.OverlapChunker(0.7, W), v.OverlapChunker(0.7, W))),
         ("dynamic memory 2D", v.default_2d_partitioner(W, W, 4, 8)),
     ]
+    if not args.no_time_model:
+        try:
+            # autotuned 2-D time model, rank-3 SVD like bin/test_table.jl:56
+            mdl_time2 = autotune.model_vbc_trspmv_time(W, W, rank=3)
+            methods_2d.append((
+                "min time 2D (autotuned)",
+                v.AlternatingPacker(
+                    v.EquiChunker(1),
+                    v.EquiChunker(1),
+                    v.DynamicTotalChunker(
+                        v.ConstrainedCost(mdl_time2, v.VertexCount(), W)),
+                    v.DynamicTotalChunker(
+                        v.ConstrainedCost(mdl_time2.permuted(), v.VertexCount(), W)),
+                    v.DynamicTotalChunker(
+                        v.ConstrainedCost(mdl_time2, v.VertexCount(), W)),
+                ),
+            ))
+        except Exception as e:
+            print(f"[2-D autotune unavailable: {e}]")
 
     for label, method in methods:
         t0 = time.perf_counter()

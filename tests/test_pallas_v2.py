@@ -95,3 +95,65 @@ def test_windowed_permute_rejects_nonlocal():
     rng = np.random.default_rng(10)
     perm = rng.permutation(100000)[:50000]  # fully scrambled
     assert wg.pack_permute(perm, 100000) is None
+
+
+def test_natural_identity_fast_path():
+    """Uniform-width matrix in natural stripe order: the slot->natural
+    map is the identity, the permutation is skipped, and the kernel's
+    transposed store is y directly."""
+    A = banded(1024, 1024, 6, 50, seed=7)
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    fmt = pk2.pack_stream2(B)
+    assert fmt.natural
+    assert fmt.y_plan is None
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal(A.shape[0]), jnp.float32
+    )
+    y = np.asarray(pk2.tr_spmv_pallas2(fmt, x))
+    want = (A.T @ np.asarray(x)).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=1e-5)
+
+
+def test_disjoint_tile_windows():
+    """Rows split between two *distant* aligned 1024-tiles: the old
+    contiguous-span rule would have forced the v1 fallback; independent
+    per-vreg window bases keep the fused kernel local (wblk == 2)."""
+    m, n, W = 12 * 1024, 512, 4
+    rng = np.random.default_rng(11)
+    rows, cols, vals = [], [], []
+    for j in range(n):
+        # ~3 rows near the top tile, ~3 near a tile ~10k away
+        rr = np.concatenate(
+            [rng.integers(0, 900, 3), rng.integers(10 * 1024, 10 * 1024 + 900, 3)]
+        )
+        rows.extend(rr)
+        cols.extend([j] * rr.size)
+        vals.extend(rng.standard_normal(rr.size))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+    B = v.vbc1d(A, W, v.EquiChunker(W))
+    fmt = pk2.pack_stream2(B)
+    assert fmt.fallback is None
+    assert all(c.wblk <= 2 for c in fmt.classes)
+    x = jnp.asarray(rng.standard_normal(m), jnp.float32)
+    y = np.asarray(pk2.tr_spmv_pallas2(fmt, x))
+    want = (A.T @ np.asarray(x)).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=1e-5)
+
+
+def test_permute_disjoint_tiles():
+    """pack_permute with segments gathering from two distant tiles."""
+    src_len = 8 * 1024
+    n = 2048
+    rng = np.random.default_rng(13)
+    perm = np.where(
+        rng.random(n) < 0.5,
+        rng.integers(0, 1024, n),
+        rng.integers(6 * 1024, 7 * 1024, n),
+    ).astype(np.int64)
+    plan = wg.pack_permute(perm, src_len)
+    assert plan is not None and plan.wblk <= 2
+    src = jnp.asarray(rng.standard_normal(src_len), jnp.float32)
+    out = np.asarray(wg.apply_permute(plan, src))
+    np.testing.assert_array_equal(out, np.asarray(src)[perm])

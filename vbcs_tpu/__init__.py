@@ -44,6 +44,12 @@ from .models.cost import (
     row_component_value,
     total_value,
 )
+from .models.autotune import (
+    autotune_1dvbc_trspmv,
+    autotune_vbc_trspmv,
+    model_1dvbc_trspmv_time,
+    model_vbc_trspmv_time,
+)
 from .plan.alternating import (
     AlternatePacker,
     AlternatingPacker,

@@ -34,7 +34,12 @@ import numpy as np
 
 from .cost import ColumnBlockComponentCostModel
 
-__all__ = ["model_1dvbc_trspmv_time", "autotune_1dvbc_trspmv"]
+__all__ = [
+    "model_1dvbc_trspmv_time",
+    "autotune_1dvbc_trspmv",
+    "model_vbc_trspmv_time",
+    "autotune_vbc_trspmv",
+]
 
 _CACHE_DIR = os.path.join(
     os.environ.get("VBCS_CACHE", os.path.expanduser("~/.cache/vbcs_tpu")),
@@ -70,6 +75,41 @@ def _synth(L, w, d, band, seed):
     return A
 
 
+def _measure_stream(fmt, num_blocks, w, reps=8):
+    """Time one Pallas stream class (seconds/iter) with the difference
+    method; retries implausible (sub-floor) readings."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_trspmv2 as pk2
+    from ..utils.timing import periter
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(fmt.m), jnp.float32
+    )
+    x2d0 = pk2._x_2d(x, fmt.m)
+    c0 = fmt.classes[0]
+
+    def mk(n):
+        def f(x2d):
+            def body(i, acc):
+                out = pk2._run_class2(c0, x2d * (1.0 + acc * 1e-30))
+                return out[0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
+
+        g = jax.jit(f)
+        return lambda: g(x2d0)
+
+    t = periter(mk, 20, 120, reps=reps)
+    floor = num_blocks * w / 500e9  # 500 Gnnz/s sanity bound
+    tries = 0
+    while t < floor and tries < 3:
+        t = periter(mk, 20, 220, reps=reps)
+        tries += 1
+    return t if t >= floor else None
+
+
 def autotune_1dvbc_trspmv(
     W: int = 8,
     d: int = 8,
@@ -77,8 +117,12 @@ def autotune_1dvbc_trspmv(
     band: int = 400,
     verbose: bool = False,
     cache: bool = True,
+    measure=None,
 ):
-    """Measure + fit; returns (alpha_col[W], beta_col[W]) tables (ns)."""
+    """Measure + fit; returns (alpha_col[W], beta_col[W]) tables (ns).
+
+    ``measure(fmt, B, w) -> seconds | None`` overrides the on-device
+    timing (used by tests to exercise the fit pipeline CPU-only)."""
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = json.dumps(
         dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=2)
@@ -90,14 +134,10 @@ def autotune_1dvbc_trspmv(
         data = json.load(open(path))
         return np.asarray(data["alpha"]), np.asarray(data["beta"])
 
-    import jax
-    import jax.numpy as jnp
-
     from ..formats.csc import CSC
     from ..formats.vbc1d import pack_1dvbc
     from ..formats.partition import SplitPartition
     from ..ops import pallas_trspmv2 as pk2
-    from ..utils.timing import periter
 
     ms, Ls, ws, qs, ts = [], [], [], [], []
     for w in range(W, 0, -1):
@@ -111,32 +151,14 @@ def autotune_1dvbc_trspmv(
             C = CSC.from_scipy(A)
             B = pack_1dvbc(C, SplitPartition.equi(C.n, w), W)
             fmt = pk2.pack_stream2(B)
-            x = jnp.asarray(
-                np.random.default_rng(0).standard_normal(C.m), jnp.float32
-            )
-            x2d0 = pk2._x_2d(x, fmt.m)
-            c0 = fmt.classes[0]
-
-            def mk(n):
-                def f(x2d):
-                    def body(i, acc):
-                        out = pk2._run_class2(c0, x2d * (1.0 + acc * 1e-30))
-                        return out[0]
-
-                    return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
-
-                g = jax.jit(f)
-                return lambda: g(x2d0)
-
             # difference-method timing is noisy on the remote TPU; use
             # long chains and retry implausible results (sub-ns/nnz).
-            t = periter(mk, 20, 120, reps=8)
-            floor = B.num_blocks * w / 500e9  # 500 Gnnz/s sanity bound
-            tries = 0
-            while t < floor and tries < 3:
-                t = periter(mk, 20, 220, reps=8)
-                tries += 1
-            if t < floor:
+            t = (
+                measure(fmt, B, w)
+                if measure is not None
+                else _measure_stream(fmt, B.num_blocks, w)
+            )
+            if t is None:
                 continue  # drop this sample
             ms.append(C.m)
             Ls.append(len(B.Phi))
@@ -182,3 +204,215 @@ def model_1dvbc_trspmv_time(W: int = 8, **kwargs) -> ColumnBlockComponentCostMod
     ``model_SparseMatrix1DVBC_TrSpMV_time``, ``src/costs.jl:12``)."""
     alpha, beta = autotune_1dvbc_trspmv(W, **kwargs)
     return ColumnBlockComponentCostModel(alpha_col=alpha, beta_col=beta)
+
+
+def _synth2d(K, u, L, w, d, band, seed):
+    """(u, w)-uniform 2-D blocky matrix: K row blocks of height u, L
+    column stripes of width w, ~d dense u x w tiles per stripe placed
+    near the diagonal (reference's 2-D synthetic family,
+    ``src/costs.jl:195-222``, plus banding for the windowed kernel)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    m, n = K * u, L * w
+    cb = (np.arange(L) * w) // max(u, 1)  # diagonal row-block per stripe
+    bb = max(1, band // max(u, 1))
+    rb = np.clip(cb[:, None] + rng.integers(-bb, bb + 1, (L, d)), 0, K - 1)
+    # tile (l, k) -> u*w COO entries
+    l_t = np.repeat(np.arange(L), d)
+    k_t = rb.reshape(-1)
+    rows = (k_t[:, None] * u + np.arange(u)[None, :]).reshape(-1)
+    rows = np.repeat(rows, w)
+    cols = np.broadcast_to(
+        (l_t[:, None] * w + np.arange(w)[None, :])[:, None, :], (L * d, u, w)
+    ).reshape(-1)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+    A.sum_duplicates()
+    return A
+
+
+def autotune_vbc_trspmv(
+    U: int = 4,
+    W: int = 8,
+    d: int = 8,
+    target_bytes: int = 64 << 20,
+    band: int = 400,
+    rank: int = 3,
+    verbose: bool = False,
+    cache: bool = True,
+    measure=None,
+    subsample: bool = True,
+):
+    """Measure + fit the 2-D time model (reference ``src/costs.jl:249-290``).
+
+    Returns ``(alpha_row[U], alpha_col[W], beta_row, beta_col)`` where
+    ``beta_row``/``beta_col`` are rank-``R`` tuples of per-size tables
+    from the SVD factorization of the monotonized beta[u, w] grid
+    (reference ``src/costs.jl:279-284``).
+
+    The benchmarked kernel is the Pallas stream kernel on the 2-D
+    format's 1-D stream expansion (``VBC2D.to_1d_view``) — the path the
+    planner actually schedules for on TPU.
+
+    ``subsample=True`` measures only power-of-two block sizes (plus U/W)
+    and linearly interpolates the remaining table entries — on the remote
+    TPU every (u, w) cell costs two kernel compiles, so the full U x W
+    grid is compile-bound.  The reference measures every size
+    (``src/costs.jl:195``); its per-size cost is a JIT already warm.
+    """
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    key = json.dumps(
+        dict(
+            U=U, W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(),
+            sub=bool(subsample), v=2,
+        )
+    )
+    path = os.path.join(
+        _CACHE_DIR, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
+    )
+    if cache and os.path.exists(path):
+        z = json.load(open(path))
+        return (
+            np.asarray(z["alpha_row"]),
+            np.asarray(z["alpha_col"]),
+            tuple(np.asarray(t) for t in z["beta_row"]),
+            tuple(np.asarray(t) for t in z["beta_col"]),
+        )
+
+    from ..formats.csc import CSC
+    from ..formats.partition import SplitPartition
+    from ..formats.vbc2d import pack_vbc2d
+    from ..ops import pallas_trspmv2 as pk2
+
+    def _sizes(n):
+        if not subsample:
+            return list(range(1, n + 1))
+        s, k = set(), 1
+        while k <= n:
+            s.add(k)
+            k *= 2
+        s.add(n)
+        return sorted(s)
+
+    u_sizes, w_sizes = _sizes(U), _sizes(W)
+    Ks, Ls, us, ws, qs, ts = [], [], [], [], [], []
+    for u in reversed(u_sizes):
+        for w in reversed(w_sizes):
+            bytes_per_tile = u * w * 4 + 8 + u * 8 * 4 / max(u, 1)
+            L0 = max(
+                2048, int(target_bytes / (d * bytes_per_tile + 2 * w * 4))
+            )
+            # vary L, blocks/stripe, and K independently so the
+            # [K e_u | L e_w | q e_{u,w}] design is full-rank (K would
+            # otherwise be collinear with L at fixed u, w)
+            for Lf, qf, Kf in (
+                (1.0, 1.0, 1.0),
+                (0.5, 1.0, 1.0),
+                (1.0, 0.5, 1.0),
+                (1.0, 1.0, 2.0),
+            ):
+                L = max(1024, int(L0 * Lf))
+                K = max(1, int((L * w) // u * Kf))
+                dd = max(1, int(d * qf))
+                A = _synth2d(
+                    K,
+                    u,
+                    L,
+                    w,
+                    dd,
+                    band,
+                    seed=u * 31 + w * 7 + int(qf * 2) + int(Kf),
+                )
+                C = CSC.from_scipy(A)
+                B2 = pack_vbc2d(
+                    C,
+                    SplitPartition.equi(C.m, u),
+                    SplitPartition.equi(C.n, w),
+                    U,
+                    W,
+                )
+                fmt = pk2.pack_stream2(B2.to_1d_view())
+                t = (
+                    measure(fmt, B2, u, w)
+                    if measure is not None
+                    else _measure_stream(fmt, B2.num_blocks * u, w)
+                )
+                if t is None:
+                    continue
+                Ks.append(len(B2.Pi))
+                Ls.append(len(B2.Phi))
+                us.append(u)
+                ws.append(w)
+                qs.append(B2.num_blocks)
+                ts.append(t * 1e9)
+                if verbose:
+                    print(
+                        f"u={u} w={w} L={L} q={B2.num_blocks} t={t*1e6:.1f}us"
+                        f" ({B2.num_blocks*u*w/t/1e9:.1f} Gnnz/s)"
+                    )
+
+    # relative-error LSQ on [K e_u; L e_w; q e_{u,w}] (src/costs.jl:252-263)
+    N = len(ts)
+    nu, nw = len(u_sizes), len(w_sizes)
+    upos = {u: i for i, u in enumerate(u_sizes)}
+    wpos = {w: i for i, w in enumerate(w_sizes)}
+    D = np.zeros((N, nu + nw + nu * nw))
+    for i in range(N):
+        D[i, upos[us[i]]] = Ks[i]
+        D[i, nu + wpos[ws[i]]] = Ls[i]
+        D[i, nu + nw + upos[us[i]] * nw + wpos[ws[i]]] = qs[i]
+    T = np.asarray(ts)
+    sol, *_ = np.linalg.lstsq(D / T[:, None], np.ones(N), rcond=None)
+    alpha_row_s = np.maximum(sol[:nu], 0.0)
+    alpha_col_s = np.maximum(sol[nu : nu + nw], 0.0)
+    beta_s = np.maximum(sol[nu + nw :].reshape(nu, nw), 0.0)
+    # expand sampled sizes to full 1..U / 1..W tables (linear interp)
+    full_u = np.arange(1, U + 1, dtype=np.float64)
+    full_w = np.arange(1, W + 1, dtype=np.float64)
+    alpha_row = np.interp(full_u, u_sizes, alpha_row_s)
+    alpha_col = np.interp(full_w, w_sizes, alpha_col_s)
+    beta_w = np.stack([np.interp(full_w, w_sizes, r) for r in beta_s])
+    beta = np.stack(
+        [np.interp(full_u, u_sizes, beta_w[:, j]) for j in range(W)], axis=1
+    )
+    # monotonize along both axes (src/costs.jl:268-277)
+    for uu in range(1, U):
+        alpha_row[uu] = max(alpha_row[uu], alpha_row[uu - 1])
+        beta[uu, :] = np.maximum(beta[uu, :], beta[uu - 1, :])
+    for ww in range(1, W):
+        alpha_col[ww] = max(alpha_col[ww], alpha_col[ww - 1])
+        beta[:, ww] = np.maximum(beta[:, ww], beta[:, ww - 1])
+    # rank-R SVD factorization so the DP stays separable (:279-284)
+    Um, s, Vt = np.linalg.svd(beta, full_matrices=False)
+    R = min(rank, s.size)
+    beta_row = tuple(Um[:, r] * np.sqrt(s[r]) for r in range(R))
+    beta_col = tuple(Vt[r, :] * np.sqrt(s[r]) for r in range(R))
+    if cache:
+        json.dump(
+            {
+                "alpha_row": alpha_row.tolist(),
+                "alpha_col": alpha_col.tolist(),
+                "beta_row": [t_.tolist() for t_ in beta_row],
+                "beta_col": [t_.tolist() for t_ in beta_col],
+                "data": dict(Ks=Ks, Ls=Ls, us=us, ws=ws, qs=qs, ts=ts),
+            },
+            open(path, "w"),
+        )
+    return alpha_row, alpha_col, beta_row, beta_col
+
+
+def model_vbc_trspmv_time(U: int = 4, W: int = 8, **kwargs):
+    """Autotuned 2-D time model (reference
+    ``model_SparseMatrixVBC_TrSpMV_time``, ``src/costs.jl:144-290``)."""
+    from .cost import BlockComponentCostModel
+
+    alpha_row, alpha_col, beta_row, beta_col = autotune_vbc_trspmv(
+        U, W, **kwargs
+    )
+    return BlockComponentCostModel(
+        alpha_row=alpha_row,
+        alpha_col=alpha_col,
+        beta_row=beta_row,
+        beta_col=beta_col,
+    )

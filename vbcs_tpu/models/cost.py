@@ -70,7 +70,14 @@ def component_at(c: Component, x: int):
         return float(c)
     if callable(c):
         return c(x)
-    return float(np.asarray(c)[x - 1])
+    tbl = np.asarray(c)
+    if x - 1 >= tbl.shape[0]:
+        raise ValueError(
+            f"cost table of length {tbl.shape[0]} has no entry for block "
+            f"size {x}; constrain the other dimension (U/W) with a prior "
+            f"Equi pass or extend the table"
+        )
+    return float(tbl[x - 1])
 
 
 def component_table(c: Component, max_x: int) -> np.ndarray:
