@@ -101,7 +101,10 @@ def main():
         g = jax.jit(f)
         return lambda: g(x)
 
-    t_full = periter(mk_full, 20, 220, reps=8)
+    # ambient load on the shared remote chip makes single difference-method
+    # estimates swing ~2x; take the best of several independent estimates
+    # (each already a min over reps)
+    t_full = min(periter(mk_full, 20, 220, reps=8) for _ in range(3))
 
     # kernel-only (slot space)
     def mk_kernel(n):
@@ -118,7 +121,7 @@ def main():
         g = jax.jit(f)
         return lambda: g(x2d0)
 
-    t_kernel = periter(mk_kernel, 20, 220, reps=8)
+    t_kernel = min(periter(mk_kernel, 20, 220, reps=8) for _ in range(3))
 
     # roofline bytes: interleaved values + row/gseg metadata + x + y
     cls_bytes = sum(

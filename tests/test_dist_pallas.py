@@ -69,3 +69,29 @@ def test_shard_ranges_respect_straddles():
         assert g1 == h0
         if h0 > 0:
             assert straddle[h0 - 1] == 0  # cut only at carry-free points
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_pallas_halo_matches_scipy(ndev):
+    """Halo-exchange variant: x sharded by tiles, one all-to-all moves
+    only the tiles each device's windows read."""
+    A = banded(4000, 4096, 6, 300, 2)
+    B = v.vbc1d(A, 8, v.EquiChunker(4))
+    fmt = pk2.pack_stream2(B)
+    assert fmt.fallback is None
+    sfmt = dps.shard_stream(fmt, ndev)
+    halo = dps.plan_halo(sfmt)
+    # banded matrix: the halo is a sliver, not a replica of x
+    assert halo.hmax < halo.tiles_per_dev + 2
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("d",))
+    sfmt = dps.place(sfmt, mesh)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal(A.shape[0]), jnp.float32
+    )
+    y = np.asarray(jax.jit(
+        lambda s, h, xx: dps.dist_tr_spmv_pallas_halo(s, h, xx, mesh)
+    )(sfmt, halo, x))
+    want = (A.T @ np.asarray(x)).astype(np.float32)
+    np.testing.assert_allclose(
+        y / np.abs(want).max(), want / np.abs(want).max(), atol=1e-5
+    )

@@ -32,7 +32,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import pallas_trspmv2 as pk2
 from ..ops import windowed_gather as wg
 
-__all__ = ["ShardedStream", "shard_stream", "dist_tr_spmv_pallas"]
+__all__ = [
+    "ShardedStream",
+    "shard_stream",
+    "dist_tr_spmv_pallas",
+    "HaloPlan",
+    "plan_halo",
+    "dist_tr_spmv_pallas_halo",
+]
 
 NS, NG = pk2.NS, pk2.NG
 
@@ -276,6 +283,146 @@ def dist_tr_spmv_pallas(
         out_specs=P(axis),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )(sfmt.classes, x)
+    flat = slots.reshape(-1)
+    if sfmt.y_plan is not None:
+        return wg.apply_permute(sfmt.y_plan, flat)
+    return flat[sfmt.y_perm]
+
+
+# --------------------------------------------------------------------------
+# Halo exchange: shard x too, and move only the 1024-element tiles each
+# device's blocks actually read (SURVEY §5 "distributed communication
+# backend" north star: plan-time halo sets + all-to-all over ICI).
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["send_idx", "xtile_local"],
+    meta_fields=["tiles_per_dev", "hmax", "ndev"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Static halo-exchange plan for a :class:`ShardedStream`.
+
+    ``x`` is sharded by contiguous aligned 1024-element tiles
+    (``tiles_per_dev`` per device).  Every (source, dest) pair exchanges
+    exactly the tiles dest's kernel windows read from source's range —
+    known at pack time from the per-vreg ``xtile`` window bases — padded
+    to the worst pair ``hmax`` so a single ``lax.all_to_all`` carries the
+    whole halo.  Per-device ICI traffic is ``(D-1) * hmax * 4 KiB``
+    versus ``m * 4 B`` for full replication.
+    """
+
+    tiles_per_dev: int
+    hmax: int
+    ndev: int
+    send_idx: jax.Array  # [D(src), D(dst)*hmax] int32 source-local tile ids
+    xtile_local: tuple  # per class [D, Td*nv*wblk] int32 into the local tile pool
+
+
+def plan_halo(sfmt: ShardedStream) -> HaloPlan:
+    """Compute the static halo plan from the shards' window-base sets."""
+    D = sfmt.ndev
+    Tx = max(1, -(-sfmt.m // 1024))
+    tpd = -(-Tx // D)
+    needed = [set() for _ in range(D)]
+    for c in sfmt.classes:
+        xt = np.asarray(c.xtile)
+        for d in range(D):
+            needed[d].update(int(t) for t in xt[d])
+    remote = [
+        [sorted(t for t in needed[d] if t // tpd == s) if s != d else []
+         for s in range(D)]
+        for d in range(D)
+    ]
+    hmax = max(
+        1, max((len(remote[d][s]) for d in range(D) for s in range(D)), default=1)
+    )
+    send_idx = np.zeros((D, D, hmax), dtype=np.int32)
+    pos = {}  # (d, global tile) -> local pool index on device d
+    for d in range(D):
+        for t in needed[d]:
+            if t // tpd == d:
+                pos[(d, t)] = t - d * tpd
+        for s in range(D):
+            for j, t in enumerate(remote[d][s]):
+                send_idx[s, d, j] = t - s * tpd
+                pos[(d, t)] = tpd + s * hmax + j
+    xtile_local = []
+    for c in sfmt.classes:
+        xt = np.asarray(c.xtile)
+        loc = np.zeros_like(xt)
+        for d in range(D):
+            for i, t in enumerate(xt[d]):
+                loc[d, i] = pos[(d, int(t))]
+        xtile_local.append(loc.astype(np.int32))
+    return HaloPlan(
+        tiles_per_dev=int(tpd),
+        hmax=int(hmax),
+        ndev=D,
+        send_idx=send_idx.reshape(D, D * hmax),
+        xtile_local=tuple(xtile_local),
+    )
+
+
+def dist_tr_spmv_pallas_halo(
+    sfmt: ShardedStream,
+    halo: HaloPlan,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "d",
+):
+    """y = A.T @ x across the mesh with x sharded by tiles and a single
+    all-to-all halo exchange (instead of replicating x)."""
+    D, tpd, H = halo.ndev, halo.tiles_per_dev, halo.hmax
+    xg = (
+        jnp.zeros(D * tpd * 1024, jnp.float32)
+        .at[: sfmt.m]
+        .set(x.astype(jnp.float32))
+        .reshape(D, tpd * 8, 128)
+    )
+
+    def local(cls_shards, xt_locals, x_shard, send_idx):
+        own = x_shard[0]  # [tpd*8, 128]
+        tiles = own.reshape(tpd, 1024)
+        send = tiles[send_idx[0]]  # [D*H, 1024]
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        x2d = jnp.concatenate([own, recv.reshape(D * H * 8, 128)], axis=0)
+        outs = []
+        for c, xtl in zip(cls_shards, xt_locals):
+            local_cls = pk2.StreamClass2(
+                w=c.w,
+                num_chunks=c.chunks_per_dev,
+                num_stripes=0,
+                wblk=c.wblk,
+                scan_steps=c.scan_steps,
+                identity=c.identity,
+                val_i=c.val_i[0],
+                row_i=c.row_i[0],
+                gseg=c.gseg[0],
+                ends=c.ends[0],
+                xtile=xtl[0],
+                nslots=c.nslots[0],
+                straddle=c.straddle[0],
+            )
+            outs.append(pk2._run_class2(local_cls, x2d))
+        return jnp.concatenate(outs)[None, :]
+
+    class_specs = tuple(
+        jax.tree.map(lambda _: P(axis), c, is_leaf=lambda x_: hasattr(x_, "dtype"))
+        for c in sfmt.classes
+    )
+    xt_specs = tuple(P(axis) for _ in halo.xtile_local)
+    slots = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(class_specs, xt_specs, P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(sfmt.classes, halo.xtile_local, xg, halo.send_idx)
     flat = slots.reshape(-1)
     if sfmt.y_plan is not None:
         return wg.apply_permute(sfmt.y_plan, flat)
