@@ -1,0 +1,92 @@
+"""Weak-scaling harness for the distributed Pallas TrSpMV.
+
+Per device count N (1..len(jax.devices())): build a banded blocky matrix
+with constant work per device (L0 stripes each), shard the stream at
+carry-free chunk boundaries, and time one distributed TrSpMV with (a)
+replicated x and (b) the tile-halo all-to-all path.  Reports Gnnz/s and
+weak-scaling efficiency vs N=1 (BASELINE.json target: >= 0.75 at N>=2).
+
+On this machine only one real TPU chip is reachable, so hardware runs
+cover N=1; the N>1 rows exercise the same code on a virtual CPU mesh
+(`JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`)
+where times are *not* meaningful — the harness is written for a pod.
+
+Usage: python bench_tools/weak_scaling.py [--l0 10000] [--w 8] [--halo]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--l0", type=int, default=10000, help="stripes per device")
+    ap.add_argument("--w", type=int, default=8)
+    ap.add_argument("--d", type=int, default=8, help="blocks per stripe")
+    ap.add_argument("--band", type=int, default=400)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import vbcs_tpu as v
+    from bench import blocky_matrix
+    from vbcs_tpu.ops import pallas_trspmv2 as pk2
+    from vbcs_tpu.parallel import pallas_spmv as dps
+    from vbcs_tpu.utils.timing import periter
+    from jax.sharding import Mesh
+
+    ndev_all = len(jax.devices())
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
+    base_rate = {}
+    print(f"{'N':>3s} {'path':12s} {'nnz':>10s} {'t_us':>8s} "
+          f"{'gnnz_s':>8s} {'halo_KiB':>9s} {'eff':>5s}")
+    for ndev in counts:
+        A = blocky_matrix(L=args.l0 * ndev, w=args.w, d=args.d, band=args.band)
+        B = v.vbc1d(v.CSC.from_scipy(A), args.w, v.EquiChunker(args.w))
+        fmt = pk2.pack_stream2(B)
+        assert fmt.fallback is None
+        sfmt0 = dps.shard_stream(fmt, ndev)
+        halo = dps.plan_halo(sfmt0)
+        mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("d",))
+        sfmt = dps.place(sfmt0, mesh)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(A.shape[0]), jnp.float32
+        )
+        for path, fn in (
+            ("replicated", lambda xx: dps.dist_tr_spmv_pallas(sfmt, xx, mesh)),
+            (
+                "tile-halo",
+                lambda xx: dps.dist_tr_spmv_pallas_halo(sfmt, halo, xx, mesh),
+            ),
+        ):
+            def mk(n_, fn=fn):
+                def f(x0):
+                    def body(i, xc):
+                        return fn(xc)[: x0.shape[0]] * jnp.float32(0.999)
+
+                    return jax.lax.fori_loop(0, n_, body, x0)[0]
+
+                g = jax.jit(f)
+                return lambda: g(x)
+
+            t = max(periter(mk, 10, 110, reps=6), 1e-9)
+            rate = A.nnz / t
+            key = path
+            if ndev == 1:
+                base_rate[key] = rate
+            eff = rate / (base_rate[key] * ndev) if key in base_rate else float("nan")
+            halo_kib = (ndev - 1) * halo.hmax * 4096 / 1024 if ndev > 1 else 0
+            print(
+                f"{ndev:3d} {path:12s} {A.nnz:10d} {t*1e6:8.1f} "
+                f"{rate/1e9:8.2f} {halo_kib:9.0f} {eff:5.2f}"
+            )
+
+
+if __name__ == "__main__":
+    main()
