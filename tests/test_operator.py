@@ -93,3 +93,23 @@ def test_profile_rows_rectangular():
     np.testing.assert_allclose(
         A.to_scipy().T @ x, B.to_scipy().T @ x[perm], rtol=1e-12
     )
+
+
+def test_alpha_beta_device():
+    """Device-side alpha/beta (reference mul!(y,A,x,alpha,beta); alpha
+    applied correctly — deliberate fix of the reference quirk)."""
+    A = sp.random(60, 80, 0.1, random_state=9, format="csc")
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(60), jnp.float32)
+    y0 = jnp.asarray(rng.standard_normal(80), jnp.float32)
+    got = np.asarray(op.tr_mul(x, alpha=2.0, beta=-0.5, y=y0))
+    want = 2.0 * (A.T @ np.asarray(x, np.float64)) - 0.5 * np.asarray(
+        y0, np.float64
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    z = jnp.asarray(rng.standard_normal(80), jnp.float32)
+    got2 = np.asarray(op.mul(z, alpha=3.0))
+    np.testing.assert_allclose(
+        got2, 3.0 * (A @ np.asarray(z, np.float64)), rtol=1e-4, atol=1e-4
+    )

@@ -36,6 +36,15 @@ from .formats.vbc1d import VBC1D, pack_1dvbc
 from .plan.alternating import pack_stripe
 
 
+def _axpby(out, alpha, beta, y):
+    """alpha*out + beta*y with the defaults (None) compiling to nothing."""
+    if alpha is not None:
+        out = out * alpha
+    if y is not None and beta is not None:
+        out = out + beta * y
+    return out
+
+
 def _as_csc(A) -> CSC:
     return A if isinstance(A, CSC) else CSC.from_scipy(A)
 
@@ -131,29 +140,36 @@ class VBCOperator:
 
     # ---- compute ---------------------------------------------------------
 
-    def tr_mul(self, x):
-        """y = A.T @ x on device."""
+    def tr_mul(self, x, alpha=None, beta=None, y=None):
+        """y = alpha * (A.T @ x) + beta * y on device (reference
+        ``mul!(y, A', x, alpha, beta)`` — with ``alpha`` actually applied;
+        the reference converts but ignores it, SURVEY §2.5 quirk)."""
         if self.host_tr is None:
             raise ValueError("operator packed without the transposed direction")
         if self.use_pallas:
             from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
-            return tr_spmv_pallas2(self._pallas_tr(), x)
-        from .ops.xla import tr_spmv
+            out = tr_spmv_pallas2(self._pallas_tr(), x)
+        else:
+            from .ops.xla import tr_spmv
 
-        return tr_spmv(self._xla_tr(), x)
+            out = tr_spmv(self._xla_tr(), x)
+        return _axpby(out, alpha, beta, y)
 
-    def mul(self, x):
-        """y = A @ x on device (scatter-free: gather kernel on A.T pack)."""
+    def mul(self, x, alpha=None, beta=None, y=None):
+        """y = alpha * (A @ x) + beta * y on device (scatter-free:
+        gather kernel on the A.T pack)."""
         if self.host_fw is None:
             raise ValueError("operator packed without the forward direction")
         if self.use_pallas:
             from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
-            return tr_spmv_pallas2(self._pallas_fw(), x)
-        from .ops.xla import tr_spmv
+            out = tr_spmv_pallas2(self._pallas_fw(), x)
+        else:
+            from .ops.xla import tr_spmv
 
-        return tr_spmv(self._xla_fw(), x)
+            out = tr_spmv(self._xla_fw(), x)
+        return _axpby(out, alpha, beta, y)
 
     def tr_mul_mat(self, X):
         """Y = A.T @ X (dense RHS [m, k]).
