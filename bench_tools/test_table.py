@@ -64,18 +64,21 @@ def main():
 
     mdl_blocks = v.model_1dvbc_blocks()
     mdl_memory = v.model_1dvbc_memory(4, 8)  # f32 values, int64 host idx
+    # (label, planner, objective model for the 'model' column — the
+    # reference prints the model-predicted cost of the chosen partition,
+    # bin/test_table.jl:82)
     methods = [
-        ("strict", v.StrictChunker(W)),
-        ("overlap 0.9", v.OverlapChunker(0.9, W)),
+        ("strict", v.StrictChunker(W), mdl_memory),
+        ("overlap 0.9", v.OverlapChunker(0.9, W), mdl_memory),
         ("min blocks", v.DynamicTotalChunker(
-            v.ConstrainedCost(mdl_blocks, v.VertexCount(), W))),
-        ("min memory", v.DynamicTotalChunker(mdl_memory, W)),
+            v.ConstrainedCost(mdl_blocks, v.VertexCount(), W)), mdl_blocks),
+        ("min memory", v.DynamicTotalChunker(mdl_memory, W), mdl_memory),
     ]
     if not args.no_time_model:
         try:
             mdl_time = autotune.model_1dvbc_trspmv_time(W)
             methods.append(("min time (autotuned)",
-                            v.DynamicTotalChunker(mdl_time, W)))
+                            v.DynamicTotalChunker(mdl_time, W), mdl_time))
         except Exception as e:
             print(f"[autotune unavailable: {e}]")
 
@@ -103,11 +106,13 @@ def main():
         t_csc = float("nan")
     rows.append(("CSC baseline", 0.0, A.memory_bytes(), t_csc, float("nan")))
 
+    mdl_mem2 = v.model_vbc_memory(4, 8)
     methods_2d = [
-        ("strict 2D", v.AlternatingPacker(v.StrictChunker(W), v.StrictChunker(W))),
+        ("strict 2D", v.AlternatingPacker(
+            v.StrictChunker(W), v.StrictChunker(W)), mdl_mem2),
         ("overlap 2D 0.7", v.AlternatingPacker(
-            v.OverlapChunker(0.7, W), v.OverlapChunker(0.7, W))),
-        ("dynamic memory 2D", v.default_2d_partitioner(W, W, 4, 8)),
+            v.OverlapChunker(0.7, W), v.OverlapChunker(0.7, W)), mdl_mem2),
+        ("dynamic memory 2D", v.default_2d_partitioner(W, W, 4, 8), mdl_mem2),
     ]
     if not args.no_time_model:
         try:
@@ -125,11 +130,12 @@ def main():
                     v.DynamicTotalChunker(
                         v.ConstrainedCost(mdl_time2, v.VertexCount(), W)),
                 ),
+                mdl_time2,
             ))
         except Exception as e:
             print(f"[2-D autotune unavailable: {e}]")
 
-    for label, method in methods:
+    for label, method, objective in methods:
         t0 = time.perf_counter()
         Phi = v.pack_stripe(A, method)
         B = v.vbc1d(A, W, Phi)
@@ -148,10 +154,10 @@ def main():
             t_run = measure_runtime_tpu(mk, nnz)
         else:
             t_run = float("nan")
-        model_val = v.total_value(A, Phi, mdl_memory)
+        model_val = v.total_value(A, Phi, objective)
         rows.append((label, setup, B.memory_bytes(), t_run, model_val))
 
-    for label, method in methods_2d:
+    for label, method, objective in methods_2d:
         t0 = time.perf_counter()
         B2 = v.vbc2d(A, W, W, method)
         setup = time.perf_counter() - t0
@@ -170,9 +176,8 @@ def main():
             t_run = measure_runtime_tpu(mk, nnz)
         else:
             t_run = float("nan")
-        mdl2 = v.model_vbc_memory(4, 8)
-        model_val = (v.total_value(A, B2.Phi, mdl2, Pi=B2.Pi)
-                     + v.row_component_value(B2.Pi, mdl2))
+        model_val = (v.total_value(A, B2.Phi, objective, Pi=B2.Pi)
+                     + v.row_component_value(B2.Pi, objective))
         rows.append((label, setup, B2.memory_bytes(), t_run, model_val))
 
     print(f"{'method':24s} {'setup_s':>8s} {'memory_B':>12s} "

@@ -31,7 +31,12 @@ from ..models.cost import (
     component_table,
 )
 
-__all__ = ["dp_partition_jit", "dp_partition_jax"]
+__all__ = [
+    "dp_partition_jit",
+    "dp_partition_jax",
+    "dp_partition_jit_2d",
+    "dp_partition_jax_2d",
+]
 
 
 def _padded_columns(A: CSC):
@@ -115,6 +120,111 @@ def dp_partition_jit(
     prev, _ = jax.jit(
         dp_partition_jax, static_argnums=(1, 2)
     )(cols, A.m, W, alpha, beta)
+    prev = np.asarray(prev)
+    splits = [A.n]
+    j = A.n
+    while j > 0:
+        j = int(prev[j])
+        splits.append(j)
+    splits.reverse()
+    return SplitPartition(np.asarray(splits, dtype=np.int64))
+
+
+def _padded_block_columns(A: CSC, asg: np.ndarray, ng: int):
+    """Distinct row-*block* ids per column, padded to the max count
+    (pad id = ng).  Dedup matters: two rows of one column can share a
+    block, and the scan's counter update assumes unique ids per step."""
+    n = A.n
+    cols_list = []
+    K = 1
+    for j in range(n):  # host prep; O(nnz log nnz)
+        b = np.unique(asg[A.idx[A.pos[j] : A.pos[j + 1]]])
+        cols_list.append(b)
+        K = max(K, b.size)
+    cols = np.full((n, K), ng, dtype=np.int32)
+    for j, b in enumerate(cols_list):
+        cols[j, : b.size] = b
+    return cols
+
+
+def dp_partition_jax_2d(cols, ng, W, alpha_tab, beta_col_tabs, wblk):
+    """Traceable 2-D column-pass DP core (rank-R block model under a
+    fixed row partition).
+
+    cols: [n, K] int32 padded distinct row-block ids (pad = ng);
+    wblk: [R, ng+1] per-block weights ``beta_row[r](u_k)`` (pad slot 0);
+    cost(stripe [j, j')) = alpha_col(w) + sum_r wcount_r * beta_col[r](w)
+    where wcount_r sums weights of distinct blocks in the stripe.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, K = cols.shape
+    R = wblk.shape[0]
+    alpha = jnp.asarray(alpha_tab, jnp.float32)
+    betas = jnp.asarray(beta_col_tabs, jnp.float32)  # [R, W]
+    wtab = jnp.asarray(wblk, jnp.float32)  # [R, ng+1]
+    INF = jnp.float32(np.inf)
+
+    def step(state, col_blocks):
+        lst, cnt, opt, jp = state  # lst [ng+1], cnt [n, R], opt [n+1]
+        c = jp - 1
+        old = lst[col_blocks]  # [K]
+        valid = col_blocks < ng
+        wgt = jnp.where(valid[None, :], wtab[:, col_blocks], 0.0)  # [R, K]
+        dec = jnp.where((valid & (old >= 0))[None, :], wgt, 0.0)
+        cnt = cnt.at[jnp.maximum(old, 0)].add(-dec.T, mode="drop")
+        cnt = cnt.at[c].add(wgt.sum(axis=1))
+        lst = lst.at[jnp.where(valid, col_blocks, ng)].set(c)
+
+        widths = jnp.arange(1, W + 1)
+        js = jp - widths
+        ok = js >= 0
+        window = jnp.where(ok[:, None], cnt[jnp.maximum(js, 0)], 0.0)  # [W, R]
+        d = jnp.cumsum(window, axis=0)  # suffix-accumulated weights
+        blockterm = (d * betas.T[: W]).sum(axis=1)
+        cand = jnp.where(
+            ok, opt[jnp.maximum(js, 0)] + alpha[widths - 1] + blockterm, INF
+        )
+        t = jnp.argmin(cand)
+        opt = opt.at[jp].set(cand[t])
+        prev = jp - widths[t]
+        return (lst, cnt, opt, jp + 1), prev
+
+    lst0 = jnp.full(ng + 1, -1, jnp.int32)
+    cnt0 = jnp.zeros((n, R), jnp.float32)
+    opt0 = jnp.full(n + 1, INF).at[0].set(0.0)
+    (lst, cnt, opt, _), prevs = jax.lax.scan(
+        step, (lst0, cnt0, opt0, jnp.int32(1)), cols
+    )
+    prev = jnp.concatenate([jnp.zeros(1, prevs.dtype), prevs])
+    return prev, opt
+
+
+def dp_partition_jit_2d(A: CSC, model, W: int, Pi=None) -> SplitPartition:
+    """Jit-compiled 2-D column-pass planner; same partition as the
+    NumPy/C++ DP with a :class:`BlockComponentCostModel` under ``Pi``."""
+    import jax
+
+    from ..models.cost import component_table
+
+    Pi = Pi if Pi is not None else SplitPartition.trivial(A.m)
+    asg = Pi.to_map().asg
+    ng = len(Pi)
+    heights = Pi.widths()
+    cols = _padded_block_columns(A, asg, ng)
+    alpha = component_table(model.alpha_col, W)
+    betas = np.stack(
+        [component_table(c, W) for c in model.beta_col]
+    )  # [R, W]
+    umax = int(heights.max(initial=1))
+    wblk = np.zeros((len(model.beta_row), ng + 1), dtype=np.float64)
+    for r, c in enumerate(model.beta_row):
+        tab = np.concatenate([[0.0], component_table(c, umax)])
+        wblk[r, :ng] = tab[heights]
+    prev, _ = jax.jit(dp_partition_jax_2d, static_argnums=(1, 2))(
+        cols, ng, W, alpha, betas, wblk
+    )
     prev = np.asarray(prev)
     splits = [A.n]
     j = A.n
