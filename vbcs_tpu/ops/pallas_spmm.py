@@ -101,20 +101,25 @@ def _class_kernel_spmm(w: int, wblk: int, scan_steps: int, identity: bool):
                 tot = sc
             else:
                 ends_all = ends_ref[...]
+                # w==1 widened to 8 sublanes for the lane gather (Mosaic
+                # rejects 1-sublane take_along_axis; see pallas_trspmv2)
+                wq = 8 if w == 1 else w
                 parts = []
                 for j in range(NS // 128):
                     ej = ends_all[:, j * 128 : (j + 1) * 128]
                     ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
                     elo = jax.lax.bitwise_and(ej, jnp.int32(127))
-                    elo_b = jnp.broadcast_to(elo, (w, 128))
-                    accp = jnp.zeros((w, 128), jnp.float32)
+                    elo_b = jnp.broadcast_to(elo, (wq, 128))
+                    accp = jnp.zeros((wq, 128), jnp.float32)
                     for i in range(nv):
                         sci = sc[:, i * 128 : (i + 1) * 128]
+                        if wq != w:
+                            sci = jnp.broadcast_to(sci, (wq, 128))
                         cand = jnp.take_along_axis(sci, elo_b, axis=1)
                         accp = jnp.where(
-                            jnp.broadcast_to(ehi == i, (w, 128)), cand, accp
+                            jnp.broadcast_to(ehi == i, (wq, 128)), cand, accp
                         )
-                    parts.append(accp)
+                    parts.append(accp[:w])
                 tot = jnp.concatenate(parts, axis=1)
             tot = jnp.where(laneN < nsl, tot, 0.0)
 

@@ -450,20 +450,27 @@ def _class_kernel2(
             tot = sc  # slots == lanes (every run is one group)
         else:
             ends_all = ends_ref[...]  # [1, NS]
+            # Mosaic's dynamic lane gather rejects 1-sublane operands;
+            # widen w==1 extractions to the native 8 sublanes and keep
+            # row 0 (observed "Shape mismatch in input, indices and
+            # output" on TPU for (1, 128) take_along_axis).
+            wq = 8 if w == 1 else w
             tot_parts = []
             for j in range(NS // 128):
                 ej = ends_all[:, j * 128 : (j + 1) * 128]  # [1, 128]
                 ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
                 elo = jax.lax.bitwise_and(ej, jnp.int32(127))
-                elo_b = jnp.broadcast_to(elo, (w, 128))
-                acc = jnp.zeros((w, 128), jnp.float32)
+                elo_b = jnp.broadcast_to(elo, (wq, 128))
+                acc = jnp.zeros((wq, 128), jnp.float32)
                 for i in range(nv):
                     sci = sc[:, i * 128 : (i + 1) * 128]
+                    if wq != w:
+                        sci = jnp.broadcast_to(sci, (wq, 128))
                     cand = jnp.take_along_axis(sci, elo_b, axis=1)
                     acc = jnp.where(
-                        jnp.broadcast_to(ehi == i, (w, 128)), cand, acc
+                        jnp.broadcast_to(ehi == i, (wq, 128)), cand, acc
                     )
-                tot_parts.append(acc)
+                tot_parts.append(acc[:w])
             tot = jnp.concatenate(tot_parts, axis=1)  # [w, NS]
         laneN = jax.lax.broadcasted_iota(jnp.int32, (w, NS), 1)
         nsl = nslots_ref[g]
