@@ -78,3 +78,40 @@ def test_native_pack_matches_numpy(dtype):
     assert np.array_equal(B_nat.ofs, B_np.ofs)
     assert np.array_equal(B_nat.val, B_np.val)
     assert B_nat.val.dtype == B_np.val.dtype
+
+
+def test_stream_chunk_plan_matches_python():
+    """C++ chunk planner == the Python oracle loop, incl. straddles."""
+    from vbcs_tpu.native import stream_chunk_plan_native
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        S = int(rng.integers(1, 400))
+        ngr = rng.integers(1, 50, S).astype(np.int64)
+        ngr[rng.random(S) < 0.05] = int(rng.integers(100, 400))  # big stripes
+        NGc, NSc = 128, 64
+        got = stream_chunk_plan_native(ngr, NGc, NSc)
+        if got is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        # python oracle
+        g_in, s_in, chunk = 0, 0, 0
+        pieces, straddle, nslots = [], [], []
+        for i in range(S):
+            left = int(ngr[i]); g0 = 0
+            if s_in >= NSc or g_in >= NGc:
+                straddle.append(0); nslots.append(s_in)
+                chunk += 1; g_in = 0; s_in = 0
+            while left > 0:
+                take = min(NGc - g_in, left)
+                pieces.append((i, g0, g0 + take, chunk))
+                g_in += take; g0 += take; left -= take
+                if left > 0:
+                    straddle.append(1); nslots.append(s_in)
+                    chunk += 1; g_in = 0; s_in = 0
+            s_in += 1
+        straddle.append(0); nslots.append(s_in)
+        np.testing.assert_array_equal(got[0], np.asarray(pieces))
+        np.testing.assert_array_equal(got[1], np.asarray(straddle))
+        np.testing.assert_array_equal(got[2], np.asarray(nslots))

@@ -78,6 +78,10 @@ def get_lib():
             ctypes.c_int64, i64p, i64p, ctypes.c_double, ctypes.c_int64,
             i64p, i64p,
         ]
+        lib.stream_chunk_plan.argtypes = [
+            ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -173,3 +177,31 @@ def overlap_chunk_native(n, pos, idx, rho, w_max):
         _p64(out_spl), _p64(out_len),
     )
     return out_spl[: int(out_len[0])]
+
+
+def stream_chunk_plan_native(ngr: np.ndarray, NG: int, NS: int):
+    """Chunk planning for the stream packer; returns (pieces [P, 4],
+    straddle [T], nslots [T]) or None if the lib is unavailable.
+    Identical output to the Python loop in pallas_trspmv2._pack_class."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ngr = np.ascontiguousarray(ngr, dtype=np.int64)
+    S = ngr.size
+    cap = int(S + ngr.sum() // max(NG, 1) + 2)
+    pi = np.empty(cap, dtype=np.int64)
+    pg0 = np.empty(cap, dtype=np.int64)
+    pg1 = np.empty(cap, dtype=np.int64)
+    pch = np.empty(cap, dtype=np.int64)
+    straddle = np.empty(cap, dtype=np.int64)
+    nslots = np.empty(cap, dtype=np.int64)
+    out_np = np.zeros(1, dtype=np.int64)
+    out_nc = np.zeros(1, dtype=np.int64)
+    lib.stream_chunk_plan(
+        S, _p64(ngr), NG, NS,
+        _p64(pi), _p64(pg0), _p64(pg1), _p64(pch),
+        _p64(straddle), _p64(nslots), _p64(out_np), _p64(out_nc),
+    )
+    P, T = int(out_np[0]), int(out_nc[0])
+    pieces = np.stack([pi[:P], pg0[:P], pg1[:P], pch[:P]], axis=1)
+    return pieces, straddle[:T].astype(np.int32), nslots[:T].astype(np.int32)

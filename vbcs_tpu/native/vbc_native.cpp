@@ -174,6 +174,56 @@ void pack_1dvbc_fill(int64_t m, int64_t n, const int64_t* pos,
   }
 }
 
+// Chunk planning for the Pallas stream packer (pallas_trspmv2
+// _pack_class): pack stripes' 8-block groups into chunks of at most NG
+// groups / NS stripe slots, splitting oversize stripes across chunks
+// (straddle).  Direct port of the Python loop; outputs are identical.
+// piece_* sized >= S + total_groups/NG + 2; straddle/nslots sized the
+// same (chunk count + 1 <= piece count).  Returns the piece count and
+// writes the chunk count to out_nchunks.
+void stream_chunk_plan(int64_t S, const int64_t* ngr, int64_t NGc,
+                       int64_t NSc, int64_t* piece_i, int64_t* piece_g0,
+                       int64_t* piece_g1, int64_t* piece_chunk,
+                       int64_t* straddle, int64_t* nslots,
+                       int64_t* out_npieces, int64_t* out_nchunks) {
+  int64_t g_in_chunk = 0, s_in_chunk = 0, chunk = 0, np = 0;
+  for (int64_t i = 0; i < S; ++i) {
+    int64_t left = ngr[i] > 1 ? ngr[i] : 1;
+    int64_t g0 = 0;
+    if (s_in_chunk >= NSc || g_in_chunk >= NGc) {
+      straddle[chunk] = 0;
+      nslots[chunk] = s_in_chunk;
+      ++chunk;
+      g_in_chunk = 0;
+      s_in_chunk = 0;
+    }
+    while (left > 0) {
+      int64_t room = NGc - g_in_chunk;
+      int64_t take = room < left ? room : left;
+      piece_i[np] = i;
+      piece_g0[np] = g0;
+      piece_g1[np] = g0 + take;
+      piece_chunk[np] = chunk;
+      ++np;
+      g_in_chunk += take;
+      g0 += take;
+      left -= take;
+      if (left > 0) {
+        straddle[chunk] = 1;
+        nslots[chunk] = s_in_chunk;
+        ++chunk;
+        g_in_chunk = 0;
+        s_in_chunk = 0;
+      }
+    }
+    ++s_in_chunk;
+  }
+  straddle[chunk] = 0;
+  nslots[chunk] = s_in_chunk;
+  *out_npieces = np;
+  *out_nchunks = chunk + 1;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -119,44 +119,49 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
     nb = (B.pos[stripes + 1] - B.pos[stripes]).astype(np.int64)
     ngr = np.maximum(1, -(-nb // 8))
 
-    # ---- chunk planning (stripe-level Python loop; cheap) --------------
-    g_in_chunk = 0
-    s_in_chunk = 0
-    chunk = 0
-    pieces = []
-    straddle = []
-    nslots_l = []
-    for i in range(S):
-        left = int(ngr[i])
-        g0 = 0
-        if s_in_chunk >= NS or g_in_chunk >= NG:
-            straddle.append(0)
-            nslots_l.append(s_in_chunk)
-            chunk += 1
-            g_in_chunk = 0
-            s_in_chunk = 0
-        while left > 0:
-            room = NG - g_in_chunk
-            take = min(room, left)
-            pieces.append((i, g0, g0 + take, chunk))
-            g_in_chunk += take
-            g0 += take
-            left -= take
-            if left > 0:
-                straddle.append(1)
+    # ---- chunk planning (C++ fast path; Python loop is the oracle) -----
+    from ..native import stream_chunk_plan_native
+
+    planned = stream_chunk_plan_native(ngr, NG, NS)
+    if planned is not None:
+        pieces_arr, straddle, nslots = planned
+        T = straddle.size
+    else:
+        g_in_chunk = 0
+        s_in_chunk = 0
+        chunk = 0
+        pieces = []
+        straddle = []
+        nslots_l = []
+        for i in range(S):
+            left = int(ngr[i])
+            g0 = 0
+            if s_in_chunk >= NS or g_in_chunk >= NG:
+                straddle.append(0)
                 nslots_l.append(s_in_chunk)
                 chunk += 1
                 g_in_chunk = 0
                 s_in_chunk = 0
-        s_in_chunk += 1
-    straddle.append(0)
-    nslots_l.append(s_in_chunk)
-    T = chunk + 1
-    straddle = np.asarray(straddle, dtype=np.int32)
-    nslots = np.asarray(nslots_l, dtype=np.int32)
-
-    # ---- vectorized materialization ------------------------------------
-    pieces_arr = np.asarray(pieces, dtype=np.int64)
+            while left > 0:
+                room = NG - g_in_chunk
+                take = min(room, left)
+                pieces.append((i, g0, g0 + take, chunk))
+                g_in_chunk += take
+                g0 += take
+                left -= take
+                if left > 0:
+                    straddle.append(1)
+                    nslots_l.append(s_in_chunk)
+                    chunk += 1
+                    g_in_chunk = 0
+                    s_in_chunk = 0
+            s_in_chunk += 1
+        straddle.append(0)
+        nslots_l.append(s_in_chunk)
+        T = chunk + 1
+        straddle = np.asarray(straddle, dtype=np.int32)
+        nslots = np.asarray(nslots_l, dtype=np.int32)
+        pieces_arr = np.asarray(pieces, dtype=np.int64)
     pi, pg0, pg1, pchunk = pieces_arr.T
     plen = pg1 - pg0
 
