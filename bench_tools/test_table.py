@@ -157,19 +157,20 @@ def main():
         model_val = v.total_value(A, Phi, objective)
         rows.append((label, setup, B.memory_bytes(), t_run, model_val))
 
+    from vbcs_tpu.ops import pallas_trspmv2d as pk2d
+
     for label, method, objective in methods_2d:
         t0 = time.perf_counter()
         B2 = v.vbc2d(A, W, W, method)
         setup = time.perf_counter() - t0
-        B = B2.to_1d_view()
-        fmt = pk2.pack_stream2(B)
-        y = np.asarray(pk2.tr_spmv_pallas2(fmt, x), np.float64)
+        bundle = pk2d.pack_stream_vbc2d(B2)
+        y = np.asarray(pk2d.tr_spmv_pallas_2d(bundle, x), np.float64)
         assert np.allclose(y, want, rtol=1e-4, atol=1e-4 * max(1, np.abs(want).max())), label
         if A.m == A.n:
             def mk(n_):
                 def f(x0):
                     def body(i, xc):
-                        return pk2.tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
+                        return pk2d.tr_spmv_pallas_2d(bundle, xc) * jnp.float32(0.999)
                     return jax.lax.fori_loop(0, n_, body, x0)[0]
                 g = jax.jit(f)
                 return lambda: g(x)

@@ -113,3 +113,69 @@ def test_alpha_beta_device():
     np.testing.assert_allclose(
         got2, 3.0 * (A @ np.asarray(z, np.float64)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_operator_2d_both_directions():
+    A = CORPUS["LPnetlib/lp_blend"].astype(np.float64)
+    from vbcs_tpu.operator import VBC2DOperator
+
+    op = VBC2DOperator.from_csc(A, U=4, W=4, use_pallas=False)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(A.shape[0])
+    xf = rng.standard_normal(A.shape[1])
+    np.testing.assert_allclose(
+        np.asarray(op.tr_mul(jnp.asarray(x))), A.T @ x, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.mul(jnp.asarray(xf))), A @ xf, rtol=1e-5, atol=1e-5
+    )
+    X = rng.standard_normal((A.shape[0], 6))
+    Xf = rng.standard_normal((A.shape[1], 6))
+    np.testing.assert_allclose(
+        np.asarray(op.tr_mul_mat(jnp.asarray(X))), A.T @ X, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.mul_mat(jnp.asarray(Xf))), A @ Xf, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(op.host_tr_mul(x), A.T @ x, rtol=1e-12)
+    np.testing.assert_allclose(op.host_mul(xf), A @ xf, rtol=1e-12)
+    assert op.memory_bytes() > 0
+    # alpha/beta applied (reference ignores alpha — documented quirk, fixed)
+    y0 = rng.standard_normal(A.shape[1])
+    got = np.asarray(op.tr_mul(jnp.asarray(x), alpha=2.0, beta=0.5,
+                               y=jnp.asarray(y0)))
+    np.testing.assert_allclose(got, 2.0 * (A.T @ x) + 0.5 * y0,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_operator_2d_pallas_interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+    from vbcs_tpu.operator import VBC2DOperator
+    from vbcs_tpu.ops import pallas_trspmv2 as pk2
+    from vbcs_tpu.ops import pallas_trspmv2d as pk2d
+    from vbcs_tpu.ops import pallas_spmm as pkm
+    from vbcs_tpu.ops import windowed_gather as wg
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    for mod in (pk2, pk2d, pkm, wg):
+        monkeypatch.setattr(mod.pl, "pallas_call", patched)
+
+    A = sp.random(150, 120, 0.06, random_state=5, format="csc")
+    op = VBC2DOperator.from_csc(A, U=4, W=4, use_pallas=True)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    got = np.asarray(op.tr_mul(jnp.asarray(x)))
+    want = (A.T @ x).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-5)
+    xf = rng.standard_normal(A.shape[1]).astype(np.float32)
+    gotf = np.asarray(op.mul(jnp.asarray(xf)))
+    wantf = (A @ xf).astype(np.float32)
+    scalef = max(1e-6, np.abs(wantf).max())
+    np.testing.assert_allclose(gotf / scalef, wantf / scalef, atol=1e-5)

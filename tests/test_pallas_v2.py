@@ -157,3 +157,25 @@ def test_permute_disjoint_tiles():
     src = jnp.asarray(rng.standard_normal(src_len), jnp.float32)
     out = np.asarray(wg.apply_permute(plan, src))
     np.testing.assert_array_equal(out, np.asarray(src)[perm])
+
+
+def test_all_zero_matrix_and_empty_stripes():
+    """Zero-block stripes (and fully empty matrices) pack and run: the
+    empty-idx clamp regression (a 2-D operator's forward pack hit
+    pack_stream2 on a subset with zero blocks)."""
+    Az = sp.csc_matrix((64, 48))
+    B = v.vbc1d(Az, 4, v.EquiChunker(4))
+    fmt = pk2.pack_stream2(B)
+    y = np.asarray(pk2.tr_spmv_pallas2(fmt, jnp.zeros(64, jnp.float32)))
+    np.testing.assert_array_equal(y, np.zeros(48, np.float32))
+    # sparse matrix whose leading stripes are empty
+    A = sp.random(500, 300, 0.005, random_state=21, format="csc").tolil()
+    A[:, :40] = 0
+    A = A.tocsc()
+    B = v.vbc1d(A, 8)
+    fmt = pk2.pack_stream2(B)
+    x = np.random.default_rng(22).standard_normal(500).astype(np.float32)
+    y = np.asarray(pk2.tr_spmv_pallas2(fmt, jnp.asarray(x)))
+    want = (A.T @ x).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=1e-5)

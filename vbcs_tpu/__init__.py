@@ -56,7 +56,7 @@ from .plan.alternating import (
     pack_plaid,
     pack_stripe,
 )
-from .operator import VBCOperator
+from .operator import VBC2DOperator, VBCOperator
 from .plan.chunkers import EquiChunker, OverlapChunker, StrictChunker
 from .plan.dynamic import DynamicTotalChunker
 from .plan.jax_dp import dp_partition_jit

@@ -204,3 +204,178 @@ class VBCOperator:
         if self.host_fw is not None:
             return self.host_fw.tr_mul(x)  # (A.T).T @ x == A @ x
         return self.host_tr.mul(x)
+
+
+@dataclasses.dataclass
+class VBC2DOperator:
+    """Sparse matrix operator in 2-D VBC form (u x w dense tiles),
+    TPU-executable (reference ``SparseMatrixVBC{U,W}``,
+    ``src/SparseMatrixVBCs.jl:57-84`` + ``src/multiply_VBC.jl``).
+
+    Execution uses the dedicated u-blocked 2-D Pallas stream kernel
+    (``ops/pallas_trspmv2d``) — tiles stay whole, one row base per tile —
+    with the XLA einsum-tile kernels as the portable fallback.  The
+    forward direction is scatter-free like the 1-D operator: ``A.T`` is
+    packed 2-D with U/W swapped and runs the same gather kernel.
+    """
+
+    m: int
+    n: int
+    host_tr: object | None  # VBC2D of A (for A.T @ x)
+    host_fw: object | None  # VBC2D of A.T (for A @ x)
+    _bundle_tr: object = None  # pallas 2-D stream bundle (lazy)
+    _bundle_fw: object = None
+    _dev_tr: object = None  # XLA device format (lazy)
+    _dev_fw: object = None
+    _spmm_tr: object = None  # 1-D view stream format for SpMM (lazy)
+    _spmm_fw: object = None
+    use_pallas: bool = True
+
+    @staticmethod
+    def from_csc(
+        A,
+        U: int = 8,
+        W: int = 8,
+        method=None,
+        method_forward=None,
+        directions: str = "both",
+        use_pallas: bool | None = None,
+    ) -> "VBC2DOperator":
+        """Plan + pack ``A`` (and/or ``A.T``) into 2-D VBC operators.
+
+        ``method`` plans (rows, columns) of A with heights <= U and
+        widths <= W; ``method_forward`` plans A.T (defaults to the
+        2-D default planner with U/W swapped).
+        """
+        import jax
+
+        from .api import default_2d_partitioner, vbc2d
+
+        A = _as_csc(A)
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        host_tr = host_fw = None
+        if directions in ("both", "transposed"):
+            m = method or default_2d_partitioner(U, W, A.val.dtype.itemsize)
+            host_tr = vbc2d(A, U, W, m)
+        if directions in ("both", "forward"):
+            At = A.transpose()
+            mf = method_forward or default_2d_partitioner(
+                W, U, A.val.dtype.itemsize
+            )
+            host_fw = vbc2d(At, W, U, mf)
+        return VBC2DOperator(
+            m=A.m, n=A.n, host_tr=host_tr, host_fw=host_fw,
+            use_pallas=bool(use_pallas),
+        )
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    def memory_bytes(self) -> int:
+        total = 0
+        if self.host_tr is not None:
+            total += self.host_tr.memory_bytes()
+        if self.host_fw is not None:
+            total += self.host_fw.memory_bytes()
+        return total
+
+    # ---- lazy device packing --------------------------------------------
+
+    def _pallas_tr(self):
+        if self._bundle_tr is None:
+            from .ops.pallas_trspmv2d import pack_stream_vbc2d
+
+            self._bundle_tr = pack_stream_vbc2d(self.host_tr)
+        return self._bundle_tr
+
+    def _pallas_fw(self):
+        if self._bundle_fw is None:
+            from .ops.pallas_trspmv2d import pack_stream_vbc2d
+
+            self._bundle_fw = pack_stream_vbc2d(self.host_fw)
+        return self._bundle_fw
+
+    def _xla_tr(self):
+        if self._dev_tr is None:
+            from .formats.device import bin_vbc2d
+
+            self._dev_tr = bin_vbc2d(self.host_tr, dtype=np.float32)
+        return self._dev_tr
+
+    def _xla_fw(self):
+        if self._dev_fw is None:
+            from .formats.device import bin_vbc2d
+
+            self._dev_fw = bin_vbc2d(self.host_fw, dtype=np.float32)
+        return self._dev_fw
+
+    # ---- compute ---------------------------------------------------------
+
+    def tr_mul(self, x, alpha=None, beta=None, y=None):
+        """y = alpha * (A.T @ x) + beta * y (reference
+        ``mul!(y, B', x, alpha, beta)`` 2-D, ``src/multiply_VBC.jl:104-189``;
+        ``alpha`` applied correctly — documented reference quirk)."""
+        if self.host_tr is None:
+            raise ValueError("operator packed without the transposed direction")
+        if self.use_pallas:
+            from .ops.pallas_trspmv2d import tr_spmv_pallas_2d
+
+            out = tr_spmv_pallas_2d(self._pallas_tr(), x)
+        else:
+            from .ops.xla import tr_spmv
+
+            out = tr_spmv(self._xla_tr(), x)
+        return _axpby(out, alpha, beta, y)
+
+    def mul(self, x, alpha=None, beta=None, y=None):
+        """y = alpha * (A @ x) + beta * y (scatter-free: gather kernel
+        on the 2-D pack of A.T)."""
+        if self.host_fw is None:
+            raise ValueError("operator packed without the forward direction")
+        if self.use_pallas:
+            from .ops.pallas_trspmv2d import tr_spmv_pallas_2d
+
+            out = tr_spmv_pallas_2d(self._pallas_fw(), x)
+        else:
+            from .ops.xla import tr_spmv
+
+            out = tr_spmv(self._xla_fw(), x)
+        return _axpby(out, alpha, beta, y)
+
+    def tr_mul_mat(self, X):
+        """Y = A.T @ X (dense RHS [m, k]; k-tiled SpMM on the 1-D view)."""
+        if self.use_pallas:
+            from .ops.pallas_spmm import tr_spmm_pallas
+            from .ops.pallas_trspmv2 import pack_stream2
+
+            if self._spmm_tr is None:
+                self._spmm_tr = pack_stream2(self.host_tr.to_1d_view())
+            return tr_spmm_pallas(self._spmm_tr, X)
+        from .ops.xla import tr_spmm
+
+        return tr_spmm(self._xla_tr(), X)
+
+    def mul_mat(self, X):
+        """Y = A @ X (dense RHS [n, k])."""
+        if self.use_pallas:
+            from .ops.pallas_spmm import tr_spmm_pallas
+            from .ops.pallas_trspmv2 import pack_stream2
+
+            if self._spmm_fw is None:
+                self._spmm_fw = pack_stream2(self.host_fw.to_1d_view())
+            return tr_spmm_pallas(self._spmm_fw, X)
+        from .ops.xla import tr_spmm
+
+        return tr_spmm(self._xla_fw(), X)
+
+    # ---- host oracles -----------------------------------------------------
+
+    def host_tr_mul(self, x):
+        return self.host_tr.tr_mul(x)
+
+    def host_mul(self, x):
+        if self.host_fw is not None:
+            return self.host_fw.tr_mul(x)  # (A.T).T @ x == A @ x
+        return self.host_tr.mul(x)

@@ -186,7 +186,10 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
 
     pos0 = B.pos[stripes].astype(np.int64)
     gblk = pos0[blk_stripe] + np.minimum(blk_in_stripe, nb[blk_stripe] - 1)
-    rows_full = np.where(real, B.idx[gblk], 0)
+    # clamp: stripes with zero blocks produce gblk = pos0 - 1 (possibly -1,
+    # or any index when idx is empty); `real` masks those lanes out
+    idx_safe = B.idx if B.idx.size else np.zeros(1, B.idx.dtype)
+    rows_full = np.where(real, idx_safe[np.clip(gblk, 0, idx_safe.size - 1)], 0)
 
     ofs0 = B.ofs[stripes].astype(np.int64)
     vbase = ofs0[blk_stripe] + np.minimum(blk_in_stripe, nb[blk_stripe] - 1) * w
@@ -232,8 +235,15 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
     ends = np.zeros((1, T * NS), dtype=np.int32)
 
     row_i[blk_sub, grp_col[blk_grp]] = rows_full
+    val_safe = B.val if B.val.size else np.zeros(1, B.val.dtype)
     for wi in range(w):
-        v_w = np.where(real, B.val[vbase + wi].astype(np.float32), 0.0)
+        v_w = np.where(
+            real,
+            val_safe[np.clip(vbase + wi, 0, val_safe.size - 1)].astype(
+                np.float32
+            ),
+            0.0,
+        )
         val_i[wi * 8 + blk_sub, grp_col[blk_grp]] = v_w
 
     gseg[0, grp_col] = grp_run
