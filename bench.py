@@ -11,8 +11,8 @@ Prints ONE JSON line:
 * vs_baseline  — fraction of the HBM-bandwidth roofline
                  (BASELINE.json target: >= 0.8), counting the bytes the
                  kernel must move (values + block metadata + x + y).
-* extras       — kernel-only (slot-space) rate, XLA-path and reference
-                 comparisons, plan/pack time.
+* extras       — kernel-only (slot-space) rate, the u-blocked 2-D
+                 kernel's rate on a u x w tiled matrix, plan/pack time.
 
 Timing uses the difference method (utils/timing.py): on this machine's
 remote TPU platform, block_until_ready does not wait for execution, so
@@ -58,6 +58,26 @@ def blocky_matrix(L=40000, w=8, d=8, band=400, seed=0):
     ).reshape(-1)
     vals = rng.standard_normal(rows.size).astype(np.float32)
     A = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsc()
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def blocky2d_matrix(K=10000, u=4, w=8, d=8, band=400, seed=0):
+    """Blocky matrix of exact u x w dense tiles (for the 2-D kernel row)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    m, n = K * u, K * w
+    rb = np.clip(
+        np.arange(K)[:, None] + rng.integers(-band, band, (K, d)), 0, K - 1
+    )
+    rows = rb.reshape(-1)[:, None] * u + np.arange(u)[None, :]
+    rows = np.repeat(rows, w, axis=0).reshape(-1)
+    cols = np.repeat(np.arange(K) * w, d)
+    cols = (np.repeat(cols, u)[:, None] + np.arange(w)[None, :]).reshape(-1)
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
     A.sum_duplicates()
     A.sort_indices()
     return A
@@ -123,6 +143,32 @@ def main():
 
     t_kernel = min(periter(mk_kernel, 20, 220, reps=8) for _ in range(3))
 
+    # dedicated u-blocked 2-D kernel on a u x w tiled blocky matrix
+    from vbcs_tpu.ops import pallas_trspmv2d as pk2d
+    from vbcs_tpu.plan.alternating import AlternatingPacker
+    from vbcs_tpu.plan.chunkers import EquiChunker
+
+    A2 = blocky2d_matrix()
+    B2 = v.vbc2d(
+        v.CSC.from_scipy(A2), 4, 8, AlternatingPacker(EquiChunker(8), EquiChunker(4))
+    )
+    bundle = pk2d.pack_stream_vbc2d(B2)
+    x2 = jnp.asarray(
+        np.random.default_rng(2).standard_normal(A2.shape[0]), jnp.float32
+    )
+
+    def mk_2d(n):
+        def f(x0):
+            def body(i, acc):
+                return pk2d.tr_spmv_pallas_2d(bundle, x0 * (1.0 + acc * 1e-30))[0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
+
+        g = jax.jit(f)
+        return lambda: g(x2)
+
+    t_2d = min(periter(mk_2d, 20, 220, reps=8) for _ in range(2))
+
     # roofline bytes: interleaved values + row/gseg metadata + x + y
     cls_bytes = sum(
         c.val_i.size * 4 + c.row_i.size * 4 + c.gseg.size * 4
@@ -144,6 +190,7 @@ def main():
         "t_kernel_us": round(t_kernel * 1e6, 1),
         "kernel_gnnz_s": round(nnz / t_kernel / 1e9, 2),
         "kernel_vs_roofline": round((nnz / t_kernel) / roofline_nnz_s, 3),
+        "trspmv2d_gnnz_s": round(A2.nnz / t_2d / 1e9, 2),
         "plan_s": round(plan_s, 3),
         "pack_s": round(pack_s, 3),
         "roofline_gnnz_s": round(roofline_nnz_s / 1e9, 2),

@@ -110,6 +110,42 @@ def _measure_stream(fmt, num_blocks, w, reps=8):
     return t if t >= floor else None
 
 
+def _measure_stream2d(bundle, nnz, reps=8):
+    """Time one u-blocked 2-D stream class (seconds/iter), difference
+    method; same retry discipline as :func:`_measure_stream`."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_trspmv2 as pk2
+    from ..ops import pallas_trspmv2d as pk2d
+    from ..utils.timing import periter
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(bundle.m), jnp.float32
+    )
+    x2d0 = pk2._x_2d(x, bundle.m)
+    c0 = bundle.classes2d[0]
+
+    def mk(n):
+        def f(x2d):
+            def body(i, acc):
+                out = pk2d._run_class2d(c0, x2d * (1.0 + acc * 1e-30))
+                return out[0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
+
+        g = jax.jit(f)
+        return lambda: g(x2d0)
+
+    t = periter(mk, 20, 120, reps=reps)
+    floor = nnz / 500e9
+    tries = 0
+    while t < floor and tries < 3:
+        t = periter(mk, 20, 220, reps=reps)
+        tries += 1
+    return t if t >= floor else None
+
+
 def autotune_1dvbc_trspmv(
     W: int = 8,
     d: int = 8,
@@ -251,9 +287,10 @@ def autotune_vbc_trspmv(
     from the SVD factorization of the monotonized beta[u, w] grid
     (reference ``src/costs.jl:279-284``).
 
-    The benchmarked kernel is the Pallas stream kernel on the 2-D
-    format's 1-D stream expansion (``VBC2D.to_1d_view``) — the path the
-    planner actually schedules for on TPU.
+    The benchmarked kernel is the dedicated u-blocked 2-D Pallas stream
+    kernel (``ops/pallas_trspmv2d``) — the path the planner actually
+    schedules on TPU — falling back to the 1-D stream expansion for
+    (u, w) cells whose synthetic exceeds the kernel's window locality.
 
     ``subsample=True`` measures only power-of-two block sizes (plus U/W)
     and linearly interpolates the remaining table entries — on the remote
@@ -265,7 +302,7 @@ def autotune_vbc_trspmv(
     key = json.dumps(
         dict(
             U=U, W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(),
-            sub=bool(subsample), v=2,
+            sub=bool(subsample), v=3,
         )
     )
     path = os.path.join(
@@ -332,12 +369,18 @@ def autotune_vbc_trspmv(
                     U,
                     W,
                 )
-                fmt = pk2.pack_stream2(B2.to_1d_view())
-                t = (
-                    measure(fmt, B2, u, w)
-                    if measure is not None
-                    else _measure_stream(fmt, B2.num_blocks * u, w)
-                )
+                if measure is not None:
+                    fmt = pk2.pack_stream2(B2.to_1d_view())
+                    t = measure(fmt, B2, u, w)
+                else:
+                    from ..ops import pallas_trspmv2d as pk2d
+
+                    bundle = pk2d.pack_stream_vbc2d(B2)
+                    if bundle.classes2d and bundle.fmt1d is None:
+                        t = _measure_stream2d(bundle, B2.num_blocks * u * w)
+                    else:  # non-local class: time the expansion it runs on
+                        fmt = pk2.pack_stream2(B2.to_1d_view())
+                        t = _measure_stream(fmt, B2.num_blocks * u, w)
                 if t is None:
                     continue
                 Ks.append(len(B2.Pi))
