@@ -59,6 +59,7 @@ class VBCOperator:
     host_fw: VBC1D | None  # column-striped A.T (for A @ x)
     _fmt_tr: object = None  # pallas stream format (lazy)
     _fmt_fw: object = None
+    _fmt_tr3: object = None  # pallas v3 chain format (lazy; False = n/a)
     _dev_tr: object = None  # XLA device format (lazy)
     _dev_fw: object = None
     use_pallas: bool = True
@@ -121,6 +122,17 @@ class VBCOperator:
             self._fmt_tr = pack_stream2(self.host_tr)
         return self._fmt_tr
 
+    def _pallas_tr_chain(self):
+        """v3 fused-chain format, or False if the matrix doesn't qualify
+        (multi-width classes, non-square, or gather-matching failure)."""
+        if self._fmt_tr3 is None:
+            from .ops.pallas_trspmv3 import pack_stream3
+
+            self._fmt_tr3 = pack_stream3(self.host_tr)
+            if self._fmt_tr3 is None:
+                self._fmt_tr3 = False
+        return self._fmt_tr3
+
     def _pallas_fw(self):
         if self._fmt_fw is None:
             from .ops.pallas_trspmv2 import pack_stream2
@@ -170,6 +182,36 @@ class VBCOperator:
 
             out = tr_spmv(self._xla_fw(), x)
         return _axpby(out, alpha, beta, y)
+
+    def tr_mul_chain(self, x, n_iters: int, alpha=None):
+        """y = (alpha * A.T)^n_iters @ x — iterative SpMV, fused.
+
+        Square operators with a single stripe-width class run the v3
+        fused chain: ONE Pallas grid holds the x/y slot vectors in VMEM
+        between iterations, so each iteration costs only the val+meta
+        HBM stream (no permutations, no x/y round trips — the
+        steady-state rate exceeds the reference's per-call model
+        entirely; see ops/pallas_trspmv3.py).  Other operators fall
+        back to a fori_loop of single SpMVs.
+        """
+        if self.host_tr is None:
+            raise ValueError("operator packed without the transposed direction")
+        import jax
+        import jax.numpy as jnp
+
+        if self.use_pallas and self.m == self.n:
+            fmt3 = self._pallas_tr_chain()
+            if fmt3 is not False:
+                from .ops.pallas_trspmv3 import tr_spmv_chain3
+
+                return tr_spmv_chain3(fmt3, x, n_iters, alpha)
+        a = None if alpha is None else jnp.asarray(alpha, jnp.float32)
+
+        def body(i, xc):
+            out = self.tr_mul(xc)
+            return out if a is None else out * a
+
+        return jax.lax.fori_loop(0, n_iters, body, x)
 
     def tr_mul_mat(self, X):
         """Y = A.T @ X (dense RHS [m, k]).

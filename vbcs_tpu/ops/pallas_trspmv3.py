@@ -108,11 +108,16 @@ class StreamFormat3:
 # pack
 
 
-def _chunk_plan(B: VBC1D, ng=NG, ns=NS):
-    """Chunk layout for the single stripe class (same plan as v2)."""
+def _chunk_plan(B: VBC1D, ng=NG, ns=NS, extra=None):
+    """Chunk layout for the single stripe class (same plan as v2).
+
+    ``extra[stripe]`` adds padding groups — the reflow relief valve
+    when the A-table matcher cannot place a stripe's blocks."""
     S = B.Phi.spl.size - 1
     nb = (B.pos[1:] - B.pos[:-1]).astype(np.int64)
     ngr = np.maximum(1, -(-nb // 8))
+    if extra is not None:
+        ngr = ngr + extra
     from ..native import stream_chunk_plan_native
 
     planned = stream_chunk_plan_native(ngr, ng, ns)
@@ -178,97 +183,155 @@ def _chunk_plan(B: VBC1D, ng=NG, ns=NS):
         S=S, nb=nb, T=T, straddle=straddle, nslots=nslots,
         grp_stripe=grp_stripe, grp_in_stripe=grp_in_stripe,
         grp_chunk=grp_chunk, grp_col=grp_col, grp_run=grp_run,
-        end_chunk=end_chunk, end_lane=end_lane, P=P,
+        end_chunk=end_chunk, end_lane=end_lane, P=P, ngr=ngr,
         scan_steps=scan_steps, identity=bool(max_run == 1),
     )
 
 
-def _match_tables(T, nv, ntiles, nwin, vreg_of_blk, hs, lane_tile_rank,
-                  lo, real):
+def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
+                  stripe_of_grp=None):
     """Assign block slots to sublanes so A-table cells are consistent.
 
-    Returns (sub_assign, tables) or None.  ``tables[vreg, d, s, lo]`` =
-    x-sublane served by window d's gather at that cell (-1 = free).
-    Blocks are processed group by group; each group's 8 slots must get
-    8 distinct sublanes (the in-group sum is order-free, reference
-    ``src/multiply_1DVBC.jl:99-105`` accumulates blocks in any order).
-    ``nwin >= ntiles`` duplicates windows (same base) for extra table
-    capacity.
+    Returns ``(sub_assign, win_assign, win_tiles, nwin, tables)``, or a
+    set of stripes to split (reflow) on failure.  Each vreg keeps its
+    own window list (lazily grown, up to MAX_NWIN); a window is an
+    aligned 128-lane tile of the x slot buffer and owns an A-table
+    ``tab[win, s, lo]`` = x-sublane its gather serves at that cell.
+    A group's 8 slots need 8 distinct sublanes (the in-group sum is
+    order-free, reference ``src/multiply_1DVBC.jl:99-105``).  When a
+    group cannot be placed, the whole vreg is retried with the
+    contended tile pre-duplicated (duplicate windows share a base but
+    double the table capacity); only if retries exhaust MAX_NWIN do we
+    fall back to splitting the stripe.
     """
     nblk = hs.size
     ngrp = nblk // 8
-    tables = np.full((T * nv, nwin, 8, 128), -1, dtype=np.int16)
+    nvreg = T * nv
+    tables = np.full((nvreg, MAX_NWIN, 8, 128), -1, dtype=np.int16)
+    win_tiles = np.full((nvreg, MAX_NWIN), -1, dtype=np.int64)
+    nwin_v = np.zeros(nvreg, dtype=np.int64)
     sub_assign = np.zeros(nblk, dtype=np.int64)
-    dup = nwin // max(ntiles, 1) if ntiles else 1
+    win_assign = np.zeros(nblk, dtype=np.int64)
 
     hs_g = hs.reshape(ngrp, 8)
-    d_g = lane_tile_rank.reshape(ngrp, 8)
+    t_g = tile.reshape(ngrp, 8)
     lo_g = lo.reshape(ngrp, 8)
     real_g = real.reshape(ngrp, 8)
     vreg_g = vreg_of_blk.reshape(ngrp, 8)[:, 0]
+    # group ranges per vreg (groups are laid out vreg-major)
+    vstart = np.searchsorted(vreg_g, np.arange(nvreg), side="left")
+    vend = np.searchsorted(vreg_g, np.arange(nvreg), side="right")
+    failed_stripes = set()
 
-    for g in range(ngrp):
-        tab = tables[vreg_g[g]]
-        reals = np.flatnonzero(real_g[g])
-        if reals.size == 0:
+    for v in range(nvreg):
+        g0, g1 = int(vstart[v]), int(vend[v])
+        if g0 >= g1:
             continue
-        blocks = [(int(hs_g[g, b]), int(d_g[g, b]), int(lo_g[g, b]), b)
-                  for b in reals]
-        # candidates per block: (duplicate-window, sublane) with a free
-        # or matching cell; fewest-first ordering keeps the DFS tiny
-        cands = []
-        for hsb, db, lob, b in blocks:
-            opts = []
-            for k in range(dup):
-                dd = db + k * ntiles
-                col = tab[dd, :, lob]
-                for s in range(8):
-                    if col[s] == -1 or col[s] == hsb:
-                        opts.append((s, dd))
-            cands.append((len(opts), hsb, db, lob, b, opts))
-        cands.sort()
-        used = 0
-        chosen = {}
-        written = []
-
-        def dfs(k):
-            nonlocal used
-            if k == len(cands):
-                return True
-            _, hsb, db, lob, b, opts = cands[k]
-            for s, dd in opts:
-                if used & (1 << s):
+        dup_hints = []
+        for _retry in range(MAX_NWIN + 1):
+            tab = tables[v]
+            tab[:] = -1
+            wt = win_tiles[v]
+            wt[:] = -1
+            nw = 0
+            for tb in dup_hints:
+                if nw < MAX_NWIN:
+                    wt[nw] = tb
+                    nw += 1
+            vreg_ok = True
+            hard = None
+            for g in range(g0, g1):
+                reals = np.flatnonzero(real_g[g])
+                if reals.size == 0:
                     continue
-                cell = tab[dd, s, lob]
-                if cell != -1 and cell != hsb:
-                    continue
-                wrote = cell == -1
-                if wrote:
-                    tab[dd, s, lob] = hsb
-                    written.append((dd, s, lob))
-                used |= 1 << s
-                chosen[b] = (s, dd)
-                if dfs(k + 1):
-                    return True
-                used &= ~(1 << s)
-                if wrote:
-                    tab[dd, s, lob] = -1
-                    written.pop()
-            return False
+                blocks = [(int(hs_g[g, b]), int(t_g[g, b]),
+                           int(lo_g[g, b]), b) for b in reals]
+                for _, tb, _, _ in blocks:
+                    if not (wt[:nw] == tb).any():
+                        if nw >= MAX_NWIN:
+                            vreg_ok = False
+                            break
+                        wt[nw] = tb
+                        nw += 1
+                if not vreg_ok:
+                    break
+                cands = []
+                for hsb, tb, lob, b in blocks:
+                    opts = []
+                    for j in range(nw):
+                        if wt[j] != tb:
+                            continue
+                        col = tab[j, :, lob]
+                        for si in range(8):
+                            if col[si] == -1 or col[si] == hsb:
+                                opts.append((si, j))
+                    cands.append((len(opts), hsb, tb, lob, b, opts))
+                cands.sort()
+                used = 0
+                chosen = {}
+                budget = [4000]
 
-        if not dfs(0):
-            return None
-        free = [s for s in range(8) if not (used & (1 << s))]
-        fi = 0
-        for b in range(8):
-            if real_g[g, b]:
-                s, dd = chosen[b]
-                sub_assign[g * 8 + b] = s
-                d_g[g, b] = dd
-            else:
-                sub_assign[g * 8 + b] = free[fi]
-                fi += 1
-    return sub_assign, d_g.reshape(-1), tables
+                def dfs(k):
+                    nonlocal used
+                    if k == len(cands):
+                        return True
+                    budget[0] -= 1
+                    if budget[0] <= 0:
+                        return False
+                    _, hsb, tb, lob, b, opts = cands[k]
+                    for si, j in opts:
+                        if used & (1 << si):
+                            continue
+                        cell = tab[j, si, lob]
+                        if cell != -1 and cell != hsb:
+                            continue
+                        wrote = cell == -1
+                        if wrote:
+                            tab[j, si, lob] = hsb
+                        used |= 1 << si
+                        chosen[b] = (si, j)
+                        if dfs(k + 1):
+                            return True
+                        used &= ~(1 << si)
+                        if wrote:
+                            tab[j, si, lob] = -1
+                    return False
+
+                if not dfs(0):
+                    vreg_ok = False
+                    hard = cands[0][2]  # tile of the hardest block
+                    break
+                free = [si for si in range(8) if not (used & (1 << si))]
+                fi = 0
+                for b in range(8):
+                    if real_g[g, b]:
+                        si, j = chosen[b]
+                        sub_assign[g * 8 + b] = si
+                        win_assign[g * 8 + b] = j
+                    else:
+                        sub_assign[g * 8 + b] = free[fi]
+                        fi += 1
+            if vreg_ok:
+                nwin_v[v] = nw
+                break
+            if hard is None or len(dup_hints) >= MAX_NWIN - 1:
+                # out of retry room: mark this vreg's stripes for reflow
+                for g in range(g0, g1):
+                    if stripe_of_grp is not None:
+                        failed_stripes.add(int(stripe_of_grp[g]))
+                nwin_v[v] = max(nw, 1)
+                break
+            dup_hints.append(hard)
+
+    if failed_stripes:
+        return failed_stripes
+    nwin = max(1, int(nwin_v.max(initial=1)))
+    # unused window slots point at the vreg's first window (in-bounds)
+    first = np.where(win_tiles[:, 0] >= 0, win_tiles[:, 0], 0)
+    for j in range(MAX_NWIN):
+        win_tiles[:, j] = np.where(win_tiles[:, j] >= 0, win_tiles[:, j],
+                                   first)
+    return sub_assign, win_assign, win_tiles[:, :nwin], nwin, tables[:, :nwin]
 
 
 def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
@@ -281,9 +344,16 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
 
     blk_grp = np.repeat(np.arange(ngrp_cols), 8)
     blk_slot = np.tile(np.arange(8), ngrp_cols)
-    blk_in_stripe = grp_in_stripe[blk_grp] * 8 + blk_slot
+    # proportional spread: group gi of a stripe with nbk blocks and G
+    # groups owns blocks [gi*nbk//G, (gi+1)*nbk//G) — blocks stay
+    # row-sorted within and across groups, pads spread evenly
+    grp_nb = nb[grp_stripe]
+    grp_G = plan["ngr"][grp_stripe]
+    grp_start = (grp_in_stripe * grp_nb) // grp_G
+    grp_cnt = ((grp_in_stripe + 1) * grp_nb) // grp_G - grp_start
+    blk_in_stripe = grp_start[blk_grp] + blk_slot
     blk_stripe = grp_stripe[blk_grp]
-    real = blk_in_stripe < nb[blk_stripe]
+    real = blk_slot < grp_cnt[blk_grp]
 
     pos0 = B.pos[:-1].astype(np.int64)
     gblk = pos0[blk_stripe] + np.minimum(blk_in_stripe, nb[blk_stripe] - 1)
@@ -297,43 +367,26 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
 
     nv = ng // 128
     blk_vreg = (grp_col[blk_grp] // 128).astype(np.int64)
-    tile = L >> 7
-    ntile_tot = int(tile.max(initial=0)) + 1
-    pair = blk_vreg * ntile_tot + tile
-    uniq = np.unique(pair[real]) if real.any() else np.zeros(0, np.int64)
-    uv, ut = uniq // ntile_tot, uniq % ntile_tot
-    counts = np.bincount(uv, minlength=T * nv)
-    ntiles = int(max(1, counts.max(initial=1)))
-    if ntiles > MAX_NWIN:
-        return None
-    start = np.zeros(T * nv + 1, dtype=np.int64)
-    np.cumsum(counts, out=start[1:])
-    d_of_uniq = np.arange(uniq.size) - start[uv]
-    if real.any():
-        u_idx = np.searchsorted(uniq, pair)
-        d_blk = np.where(real, d_of_uniq[np.minimum(u_idx, uniq.size - 1)], 0)
-    else:
-        d_blk = np.zeros_like(L)
+    tile = np.where(real, L >> 7, -1)
     lo = np.where(real, L & 127, 0)
+    # quick infeasibility check: distinct tiles per vreg > MAX_NWIN
+    pair = blk_vreg * (int(tile.max(initial=0)) + 2) + tile
+    uniq_v = np.unique(pair[real]) // (int(tile.max(initial=0)) + 2)
+    if np.bincount(uniq_v, minlength=T * nv).max(initial=0) > MAX_NWIN:
+        return None
+    tile = np.where(real, tile, 0)
 
     # ---- sublane assignment / A-tables --------------------------------
-    res = None
-    for nwin in range(ntiles, MAX_NWIN + 1, max(ntiles, 1)):
-        res = _match_tables(T, nv, ntiles, nwin, blk_vreg, hs, d_blk.copy(),
-                            lo, real)
-        if res is not None:
-            break
-    if res is None:
-        return None
-    sub_assign, d_final, tables = res
-    nwin = tables.shape[1]
+    res = _match_tables(T, nv, blk_vreg, hs, tile, lo, real,
+                        stripe_of_grp=grp_stripe)
+    if isinstance(res, set):
+        return res  # stripes to split (reflow)
+    sub_assign, win_assign, win_tiles, nwin, tables = res
 
     # ---- window base lanes ---------------------------------------------
-    xtile = np.zeros((T * nv, nwin), dtype=np.int32)
-    xtile[uv, d_of_uniq] = (ut * 128).astype(np.int32)
-    for k in range(1, nwin // max(ntiles, 1)):
-        xtile[:, k * ntiles:(k + 1) * ntiles] = xtile[:, :ntiles]
-    np.minimum(xtile, max(X - 128, 0), out=xtile)
+    xtile = (win_tiles * 128).astype(np.int32)  # [T*nv, nwin]
+    np.clip(xtile, 0, max(X - 128, 0), out=xtile)
+    d_final = win_assign
 
     # ---- fused meta stream ----------------------------------------------
     meta = np.zeros((8, T * ng), dtype=np.int32)
@@ -371,34 +424,45 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
     w = int(widths[0])
     if w > 8:
         return None
-    plan = _chunk_plan(B, ng, ns)
-    T, S, P = plan["T"], plan["S"], plan["P"]
-
-    X = T * ns
-    nat_lanes = 128 * (-(-(-(-B.m // 8)) // 128))  # ceil(m/8) to 128
-    X = max(X, nat_lanes)
-    if X > MAX_X:
-        return None
-
     spl = B.Phi.spl.astype(np.int64)
-    natural = bool(
-        B.m == B.n
-        and w == 8
-        and np.array_equal(P, np.arange(S))
-        and np.array_equal(spl, np.arange(S + 1) * 8)
-    )
+    extra = np.zeros(spl.size - 1, dtype=np.int64)
+    packed = None
+    for _attempt in range(4):
+        plan = _chunk_plan(B, ng, ns, extra)
+        T, S, P = plan["T"], plan["S"], plan["P"]
 
-    # x-target maps: natural (r&7, r>>3) vs slot (r-spl[stripe], P[stripe])
-    if natural:
-        t_sub = (np.arange(B.m) & 7).astype(np.int64)
-        t_lane = (np.arange(B.m) >> 3).astype(np.int64)
-    else:
-        stripe_of = np.repeat(np.arange(S), np.diff(spl))
-        t_sub = (np.arange(B.n) - spl[stripe_of]).astype(np.int64)
-        t_lane = P[stripe_of].astype(np.int64)
-        if B.m != B.n:
-            return None  # chain requires a square operator
-    packed = _pack_mode(B, plan, w, t_sub, t_lane, X, ng)
+        X = T * ns
+        nat_lanes = 128 * (-(-(-(-B.m // 8)) // 128))  # ceil(m/8) to 128
+        X = max(X, nat_lanes)
+        if X > MAX_X:
+            return None
+
+        natural = bool(
+            B.m == B.n
+            and w == 8
+            and np.array_equal(P, np.arange(S))
+            and np.array_equal(spl, np.arange(S + 1) * 8)
+        )
+
+        # x-targets: natural (r&7, r>>3) vs slot (r-spl[stripe], P[stripe])
+        if natural:
+            t_sub = (np.arange(B.m) & 7).astype(np.int64)
+            t_lane = (np.arange(B.m) >> 3).astype(np.int64)
+        else:
+            stripe_of = np.repeat(np.arange(S), np.diff(spl))
+            t_sub = (np.arange(B.n) - spl[stripe_of]).astype(np.int64)
+            t_lane = P[stripe_of].astype(np.int64)
+            if B.m != B.n:
+                return None  # chain requires a square operator
+        packed = _pack_mode(B, plan, w, t_sub, t_lane, X, ng)
+        if packed is None:
+            return None
+        if isinstance(packed, dict):
+            break
+        # reflow: split the unplaceable stripes into more groups
+        fail = np.asarray(sorted(packed), dtype=np.int64)
+        extra[fail] += np.maximum(1, plan["ngr"][fail])
+        packed = None
     if packed is None:
         return None
 
@@ -567,7 +631,9 @@ def _chain_kernel(w, nwin, scan_steps, identity, has_straddle, n_iters, T,
                 (prev_str == 1) & (nsl == 0), carry_vec, 0.0)
             carry[:w, 0:1] = jnp.where(straddle_ref[t] == 1, carry_new, 0.0)
 
-        alpha = jax.lax.bitcast_convert_type(alpha_ref[0], jnp.float32)
+        # Mosaic bitcast needs a vector operand; broadcast the scalar
+        alpha = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(alpha_ref[0], (1, 1)), jnp.float32)
         tot = tot * alpha
 
         xy[1 - p, 0:w, pl.ds(t * ns, ns)] = tot
