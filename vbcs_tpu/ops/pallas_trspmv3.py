@@ -29,8 +29,8 @@ back to the v2 kernel):
 * ``meta [8, T*NG]`` int32 — ONE fused stream: element ``(s, c)``
   carries in its low bits the gather coordinates of the block at slot
   ``s`` of group-column ``c`` (bits 0-6 ``lo`` = lane offset within
-  the window, bits 7-8 ``d`` = window id), and in its high bits the
-  **A-table cells** of the enclosing vreg (bits ``16+3d .. 18+3d`` =
+  the window, bits 7-9 ``d`` = window id), and in its high bits the
+  **A-table cells** of the enclosing vreg (bits ``10+3d .. 12+3d`` =
   sublane of the x element that window ``d``'s gather serves at lane
   position ``c % 128``).  Table cells and block coordinates are
   independent index spaces that happen to share an array.
@@ -66,7 +66,7 @@ __all__ = ["StreamFormat3", "pack_stream3", "tr_spmv_chain3"]
 
 NG = 1024  # 8-block groups (lanes) per chunk
 NS = 1024  # stripe slots per chunk
-MAX_NWIN = 4  # window-id field is 2 bits; table field holds 4x3 bits
+MAX_NWIN = 7  # window-id field bits 7-9; 7 x 3-bit tables at bits 10-30
 MAX_X = 131072  # xy slot-buffer lanes cap (2*8*X*4 = 8 MB of VMEM)
 
 
@@ -228,7 +228,8 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
         if g0 >= g1:
             continue
         dup_hints = []
-        for _retry in range(MAX_NWIN + 1):
+        shuffles = 0
+        for _retry in range(MAX_NWIN + 4):
             tab = tables[v]
             tab[:] = -1
             wt = win_tiles[v]
@@ -240,7 +241,10 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
                     nw += 1
             vreg_ok = True
             hard = None
-            for g in range(g0, g1):
+            order = list(range(g0, g1))
+            if shuffles > 0:  # last-resort randomized restarts
+                np.random.default_rng(v * 31 + _retry).shuffle(order)
+            for g in order:
                 reals = np.flatnonzero(real_g[g])
                 if reals.size == 0:
                     continue
@@ -314,14 +318,19 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
             if vreg_ok:
                 nwin_v[v] = nw
                 break
-            if hard is None or len(dup_hints) >= MAX_NWIN - 1:
-                # out of retry room: mark this vreg's stripes for reflow
-                for g in range(g0, g1):
-                    if stripe_of_grp is not None:
-                        failed_stripes.add(int(stripe_of_grp[g]))
-                nwin_v[v] = max(nw, 1)
-                break
-            dup_hints.append(hard)
+            if (hard is not None and shuffles == 0
+                    and len(dup_hints) < MAX_NWIN - 1):
+                dup_hints.append(hard)
+                continue
+            shuffles += 1
+            if shuffles <= 3:
+                continue
+            # out of retry room: mark this vreg's stripes for reflow
+            for g in range(g0, g1):
+                if stripe_of_grp is not None:
+                    failed_stripes.add(int(stripe_of_grp[g]))
+            nwin_v[v] = max(nw, 1)
+            break
 
     if failed_stripes:
         return failed_stripes
@@ -392,9 +401,9 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
     meta = np.zeros((8, T * ng), dtype=np.int32)
     col_of_blk = grp_col[blk_grp]
     meta[sub_assign, col_of_blk] = (lo | (d_final << 7)).astype(np.int32)
-    # table cells: element (s, vreg*128 + p) bits 16+3d
+    # table cells: element (s, vreg*128 + p) bits 10+3d
     tab_sl = np.maximum(tables, 0).astype(np.int32)  # [T*nv, nwin, 8, 128]
-    shifts = (16 + 3 * np.arange(nwin, dtype=np.int32))[:, None, None]
+    shifts = (10 + 3 * np.arange(nwin, dtype=np.int32))[:, None, None]
     tab_bits = (tab_sl << shifts).sum(axis=1)  # [T*nv, 8, 128]
     meta |= tab_bits.transpose(1, 0, 2).reshape(8, T * nv * 128)
 
@@ -552,7 +561,7 @@ def _chain_kernel(w, nwin, scan_steps, identity, has_straddle, n_iters, T,
         meta = meta_ref[...]
         lo = jax.lax.bitwise_and(meta, jnp.int32(127))
         dwin = jax.lax.bitwise_and(
-            jax.lax.shift_right_logical(meta, jnp.int32(7)), jnp.int32(3)
+            jax.lax.shift_right_logical(meta, jnp.int32(7)), jnp.int32(7)
         )
 
         # ---- exact 2-take windowed gather ------------------------------
@@ -567,7 +576,7 @@ def _chain_kernel(w, nwin, scan_steps, identity, has_straddle, n_iters, T,
                 win = xy[p, :, pl.ds(pl.multiple_of(b, 128), 128)]
                 Ad = jax.lax.bitwise_and(
                     jax.lax.shift_right_logical(
-                        m_s, jnp.int32(16 + 3 * dd)),
+                        m_s, jnp.int32(10 + 3 * dd)),
                     jnp.int32(7),
                 )
                 t0 = jnp.take_along_axis(win, Ad, axis=0)
