@@ -179,3 +179,44 @@ def test_operator_2d_pallas_interpret(monkeypatch):
     wantf = (A @ xf).astype(np.float32)
     scalef = max(1e-6, np.abs(wantf).max())
     np.testing.assert_allclose(gotf / scalef, wantf / scalef, atol=1e-5)
+
+
+def test_operator_fp64_basis_parity():
+    """Config-1 contract: fp64 bitwise parity vs the dense oracle on
+    basis vectors, THROUGH the operator's device path (the XLA device
+    kernels run the matrix's own dtype — reference runs Float64,
+    test/runtests.jl:15)."""
+    A = CORPUS["LPnetlib/lpi_itest6"].astype(np.float64)
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False)
+    Ad = A.toarray()
+    for i in range(A.shape[0]):
+        e = np.zeros(A.shape[0])
+        e[i] = 1.0
+        y = np.asarray(op.tr_mul(jnp.asarray(e)))
+        assert y.dtype == np.float64
+        np.testing.assert_array_equal(y, Ad[i, :])
+    for j in range(A.shape[1]):
+        e = np.zeros(A.shape[1])
+        e[j] = 1.0
+        y = np.asarray(op.mul(jnp.asarray(e)))
+        np.testing.assert_array_equal(y, Ad[:, j])
+
+
+def test_operator_bool_int_semirings():
+    """Bool and Int32 matrices execute on device in their own dtype
+    (reference src/hacks.jl:1 Bool shim + Int32 tests)."""
+    rng = np.random.default_rng(3)
+    dense = (rng.random((40, 30)) < 0.2)
+    Ab = sp.csc_matrix(dense)
+    op = VBCOperator.from_csc(Ab, W=4, use_pallas=False)
+    x = rng.standard_normal(40)
+    got = np.asarray(op.tr_mul(jnp.asarray(x)))
+    np.testing.assert_allclose(got, dense.astype(np.float64).T @ x,
+                               rtol=1e-12, atol=1e-12)
+    Ai = sp.csc_matrix((dense * rng.integers(1, 9, dense.shape)).astype(np.int32))
+    opi = VBCOperator.from_csc(Ai, W=4, use_pallas=False)
+    xi = rng.integers(-5, 5, 40).astype(np.int32)
+    got_i = np.asarray(opi.tr_mul(jnp.asarray(xi)))
+    assert got_i.dtype in (np.int32, np.int64)
+    np.testing.assert_array_equal(got_i, (Ai.toarray().astype(np.int64).T
+                                          @ xi.astype(np.int64)).astype(got_i.dtype))

@@ -142,13 +142,28 @@ class VBCOperator:
 
     def _xla_tr(self):
         if self._dev_tr is None:
-            self._dev_tr = bin_vbc1d(self.host_tr, dtype=np.float32)
+            # matrix's own dtype (reference runs Float64/Bool/Int32
+            # semirings, test/runtests.jl:15-16 + src/hacks.jl:1)
+            self._dev_tr = bin_vbc1d(self.host_tr)
         return self._dev_tr
 
     def _xla_fw(self):
         if self._dev_fw is None:
-            self._dev_fw = bin_vbc1d(self.host_fw, dtype=np.float32)
+            self._dev_fw = bin_vbc1d(self.host_fw)
         return self._dev_fw
+
+    def _pallas_ok(self, x) -> bool:
+        """The Pallas stream kernels are an f32 fast path; any other
+        semiring (f64 parity runs, bool/int32) executes on the XLA
+        device kernels in the matrix's own dtype."""
+        import jax.numpy as jnp
+
+        host = self.host_tr if self.host_tr is not None else self.host_fw
+        return (
+            self.use_pallas
+            and host.val.dtype == np.float32
+            and jnp.asarray(x).dtype == jnp.float32
+        )
 
     # ---- compute ---------------------------------------------------------
 
@@ -158,7 +173,7 @@ class VBCOperator:
         the reference converts but ignores it, SURVEY §2.5 quirk)."""
         if self.host_tr is None:
             raise ValueError("operator packed without the transposed direction")
-        if self.use_pallas:
+        if self._pallas_ok(x):
             from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
             out = tr_spmv_pallas2(self._pallas_tr(), x)
@@ -173,7 +188,7 @@ class VBCOperator:
         gather kernel on the A.T pack)."""
         if self.host_fw is None:
             raise ValueError("operator packed without the forward direction")
-        if self.use_pallas:
+        if self._pallas_ok(x):
             from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
             out = tr_spmv_pallas2(self._pallas_fw(), x)
@@ -219,7 +234,7 @@ class VBCOperator:
         k-tiled Pallas kernel: each pass streams the block values once
         against KT RHS columns (ops/pallas_spmm.py).
         """
-        if self.use_pallas:
+        if self._pallas_ok(X):
             from .ops.pallas_spmm import tr_spmm_pallas
 
             return tr_spmm_pallas(self._pallas_tr(), X)
@@ -229,7 +244,7 @@ class VBCOperator:
 
     def mul_mat(self, X):
         """Y = A @ X (dense RHS [n, k])."""
-        if self.use_pallas:
+        if self._pallas_ok(X):
             from .ops.pallas_spmm import tr_spmm_pallas
 
             return tr_spmm_pallas(self._pallas_fw(), X)
@@ -343,15 +358,25 @@ class VBC2DOperator:
         if self._dev_tr is None:
             from .formats.device import bin_vbc2d
 
-            self._dev_tr = bin_vbc2d(self.host_tr, dtype=np.float32)
+            self._dev_tr = bin_vbc2d(self.host_tr)
         return self._dev_tr
 
     def _xla_fw(self):
         if self._dev_fw is None:
             from .formats.device import bin_vbc2d
 
-            self._dev_fw = bin_vbc2d(self.host_fw, dtype=np.float32)
+            self._dev_fw = bin_vbc2d(self.host_fw)
         return self._dev_fw
+
+    def _pallas_ok(self, x) -> bool:
+        import jax.numpy as jnp
+
+        host = self.host_tr if self.host_tr is not None else self.host_fw
+        return (
+            self.use_pallas
+            and host.val.dtype == np.float32
+            and jnp.asarray(x).dtype == jnp.float32
+        )
 
     # ---- compute ---------------------------------------------------------
 
@@ -361,7 +386,7 @@ class VBC2DOperator:
         ``alpha`` applied correctly — documented reference quirk)."""
         if self.host_tr is None:
             raise ValueError("operator packed without the transposed direction")
-        if self.use_pallas:
+        if self._pallas_ok(x):
             from .ops.pallas_trspmv2d import tr_spmv_pallas_2d
 
             out = tr_spmv_pallas_2d(self._pallas_tr(), x)
@@ -376,7 +401,7 @@ class VBC2DOperator:
         on the 2-D pack of A.T)."""
         if self.host_fw is None:
             raise ValueError("operator packed without the forward direction")
-        if self.use_pallas:
+        if self._pallas_ok(x):
             from .ops.pallas_trspmv2d import tr_spmv_pallas_2d
 
             out = tr_spmv_pallas_2d(self._pallas_fw(), x)
@@ -388,7 +413,7 @@ class VBC2DOperator:
 
     def tr_mul_mat(self, X):
         """Y = A.T @ X (dense RHS [m, k]; k-tiled SpMM on the 1-D view)."""
-        if self.use_pallas:
+        if self._pallas_ok(X):
             from .ops.pallas_spmm import tr_spmm_pallas
             from .ops.pallas_trspmv2 import pack_stream2
 
@@ -401,7 +426,7 @@ class VBC2DOperator:
 
     def mul_mat(self, X):
         """Y = A @ X (dense RHS [n, k])."""
-        if self.use_pallas:
+        if self._pallas_ok(X):
             from .ops.pallas_spmm import tr_spmm_pallas
             from .ops.pallas_trspmv2 import pack_stream2
 
