@@ -104,6 +104,22 @@ def wall_best(g, arg, reps=4):
     return best
 
 
+def fem_matrix(k=320, seed=5):
+    """Scrambled 5-point grid Laplacian — thermal1-like FEM structure
+    hidden behind a bad row ordering (auto-RCM should recover it)."""
+    import scipy.sparse as sp
+
+    n = k * k
+    main = np.full(n, 4.0)
+    off = -np.ones(n - 1)
+    offk = -np.ones(n - k)
+    A = sp.diags([main, off, off, offk, offk], [0, 1, -1, k, -k],
+                 format="csc")
+    rng = np.random.default_rng(seed)
+    p = rng.permutation(n)
+    return A[p][:, p].tocsc()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -185,6 +201,59 @@ def main():
 
     t_2d = min(periter(mk_2d, 20, 220, reps=8) for _ in range(2))
 
+    # ---- scattered rows --------------------------------------------------
+    # (a) thermal1-like FEM matrix behind a scrambled ordering: the
+    #     operator's auto symmetric-RCM recovers bandedness and the
+    #     stream kernels apply (the reference's "planner choosing well"
+    #     product, BASELINE.md:77);
+    # (b) sp.random: information-free scatter — the case the reference
+    #     itself loses to CSC on (src/ref.out:120-131); reported honestly.
+    from vbcs_tpu.operator import VBCOperator
+
+    Af = fem_matrix()
+    op_f = VBCOperator.from_csc(Af, W=8)
+    xf = jnp.asarray(
+        np.random.default_rng(3).standard_normal(Af.shape[0]), jnp.float32
+    )
+
+    def mk_fem(n):
+        def f(x0):
+            return op_f.tr_mul_chain(x0, n, 0.999)[0]
+
+        g = jax.jit(f)
+        return lambda: g(xf)
+
+    t_fem = min(periter(mk_fem, 200, 2000, reps=4) for _ in range(2))
+    fem_bytes = (op_f.memory_bytes() + 2 * Af.shape[0] * 4)
+    fem_roof = Af.nnz / (fem_bytes / bw)
+
+    Ar = None
+    try:
+        import scipy.sparse as sp
+
+        Ar = sp.random(82654, 82654, 574458 / 82654**2, random_state=9,
+                       format="csc")
+        op_r = VBCOperator.from_csc(Ar, W=8)
+        xr = jnp.asarray(
+            np.random.default_rng(4).standard_normal(Ar.shape[0]),
+            jnp.float32,
+        )
+
+        def mk_rand(n):
+            def f(x0):
+                def body(i, xc):
+                    return op_r.tr_mul(xc) * jnp.float32(0.999)
+
+                return jax.lax.fori_loop(0, n, body, x0)[0]
+
+            g = jax.jit(f)
+            return lambda: g(xr)
+
+        t_rand = periter(mk_rand, 4, 20, reps=3)
+        rand_gnnz = Ar.nnz / t_rand / 1e9
+    except Exception:
+        rand_gnnz = float("nan")
+
     # roofline bytes per iteration: values + metadata + x + y
     bytes_moved = fmt3.val_i.size * 4 + fmt3.meta.size * 4 + 2 * A.shape[0] * 4
     roofline_nnz_s = nnz / (bytes_moved / bw)
@@ -204,6 +273,9 @@ def main():
         "oneshot_gnnz_s": round(nnz / t_oneshot / 1e9, 2),
         "kernel_vs_roofline": round(value / roofline_nnz_s, 3),
         "trspmv2d_gnnz_s": round(A2.nnz / t_2d / 1e9, 2),
+        "fem_rcm_gnnz_s": round(Af.nnz / t_fem / 1e9, 2),
+        "fem_rcm_vs_roofline": round((Af.nnz / t_fem) / fem_roof, 3),
+        "scattered_rand_gnnz_s": round(rand_gnnz, 3),
         "plan_s": round(plan_s, 3),
         "pack_s": round(pack_s, 3),
         "pack_chain_s": round(pack3_s, 3),

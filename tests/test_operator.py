@@ -220,3 +220,51 @@ def test_operator_bool_int_semirings():
     assert got_i.dtype in (np.int32, np.int64)
     np.testing.assert_array_equal(got_i, (Ai.toarray().astype(np.int64).T
                                           @ xi.astype(np.int64)).astype(got_i.dtype))
+
+
+def _grid_laplacian(k, seed=0, scramble=True):
+    """k*k 5-point grid Laplacian, rows/cols randomly relabeled
+    (thermal1-like FEM structure hidden behind a bad ordering)."""
+    n = k * k
+    ii, jj, vv = [], [], []
+    for r in range(k):
+        for c in range(k):
+            u = r * k + c
+            ii.append(u); jj.append(u); vv.append(4.0)
+            for dr, dc in ((0, 1), (1, 0)):
+                r2, c2 = r + dr, c + dc
+                if r2 < k and c2 < k:
+                    v2 = r2 * k + c2
+                    ii += [u, v2]; jj += [v2, u]; vv += [-1.0, -1.0]
+    A = sp.coo_matrix((vv, (ii, jj)), shape=(n, n)).tocsc()
+    if scramble:
+        rng = np.random.default_rng(seed)
+        p = rng.permutation(n)
+        A = A[p][:, p].tocsc()
+    return A
+
+
+def test_auto_rcm_reorder():
+    """A scrambled FEM matrix triggers the auto symmetric-RCM path and
+    still matches the oracle (reference analog: the planner choosing
+    well on thermal1-like structure, BASELINE.md:77)."""
+    A = _grid_laplacian(40)  # 1600 > the 1024 auto threshold
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False, reorder="always")
+    assert op.row_perm is not None
+    from vbcs_tpu.plan.reorder import window_badness
+    assert window_badness(op.host_tr) <= window_badness(
+        VBCOperator.from_csc(A, W=4, use_pallas=False,
+                             reorder="never").host_tr)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    got = np.asarray(op.tr_mul(jnp.asarray(x)))
+    want = (A.T @ x).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    got_f = np.asarray(op.mul(jnp.asarray(x)))
+    np.testing.assert_allclose(got_f, (A @ x).astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
+    # chained (fallback loop on CPU), boundary perms once per call
+    got_c = np.asarray(op.tr_mul_chain(jnp.asarray(x), 2, 0.5))
+    want_c = 0.5 * (A.T @ (0.5 * (A.T @ x.astype(np.float64))))
+    np.testing.assert_allclose(got_c, want_c.astype(np.float32),
+                               rtol=2e-4, atol=2e-4)

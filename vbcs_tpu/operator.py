@@ -63,6 +63,8 @@ class VBCOperator:
     _dev_tr: object = None  # XLA device format (lazy)
     _dev_fw: object = None
     use_pallas: bool = True
+    row_perm: object = None  # symmetric relabeling (auto-RCM), or None
+    _perm_plans: object = None  # lazy (entry, exit) permute plans
 
     # ---- construction ----------------------------------------------------
 
@@ -74,12 +76,21 @@ class VBCOperator:
         method_forward=None,
         directions: str = "both",
         use_pallas: bool | None = None,
+        reorder: str = "auto",
     ) -> "VBCOperator":
         """Plan + pack ``A`` (and/or ``A.T``) into VBC operators.
 
         ``directions``: "both" | "transposed" (A.T@x only) | "forward".
         ``method`` plans the columns of A; ``method_forward`` the columns
         of A.T (defaults to ``method``).
+
+        ``reorder``: "auto" applies a *symmetric* RCM relabeling when a
+        cheap locality estimate says a material share of the stream
+        vregs would exceed the Pallas x-window budget (scattered FEM
+        matrices like Schmid/thermal1 become banded); "never"/"always"
+        force it off/on.  The operator carries the permutation and
+        applies it at the call boundaries, so chained multiplies stay
+        in permuted space.
         """
         import jax
 
@@ -88,6 +99,19 @@ class VBCOperator:
             use_pallas = jax.devices()[0].platform == "tpu"
         method = method or default_1d_partitioner(W, A.val.dtype.itemsize)
         method_forward = method_forward or method
+
+        row_perm = None
+        if reorder in ("auto", "always") and A.m == A.n and A.m > 1024:
+            from .plan.reorder import rcm_symmetric, window_badness
+
+            probe = pack_1dvbc(A, pack_stripe(A, method), W)
+            bad = window_badness(probe)
+            if reorder == "always" or bad > 0.05:
+                Ap, perm = rcm_symmetric(A)
+                probe_p = pack_1dvbc(Ap, pack_stripe(Ap, method), W)
+                if reorder == "always" or window_badness(probe_p) < bad:
+                    A, row_perm = Ap, perm
+
         host_tr = host_fw = None
         if directions in ("both", "transposed"):
             Phi = pack_stripe(A, method)
@@ -98,8 +122,45 @@ class VBCOperator:
             host_fw = pack_1dvbc(At, Phi_f, W)
         return VBCOperator(
             m=A.m, n=A.n, host_tr=host_tr, host_fw=host_fw,
-            use_pallas=bool(use_pallas),
+            use_pallas=bool(use_pallas), row_perm=row_perm,
         )
+
+    # ---- boundary permutations (auto-RCM) ---------------------------------
+
+    def _boundary_plans(self):
+        if self._perm_plans is None:
+            from .ops import windowed_gather as wg
+
+            perm = np.asarray(self.row_perm, dtype=np.int64)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.size)
+            self._perm_plans = (
+                (wg.pack_permute(perm, perm.size), perm),
+                (wg.pack_permute(inv, inv.size), inv),
+            )
+        return self._perm_plans
+
+    def _to_permuted(self, x):
+        """x -> x[perm] on device."""
+        from .ops import windowed_gather as wg
+
+        (plan, perm), _ = self._boundary_plans()
+        if plan is not None and self.use_pallas and x.dtype == np.float32:
+            return wg.apply_permute(plan, x)
+        import jax.numpy as jnp
+
+        return x[jnp.asarray(perm)]
+
+    def _from_permuted(self, y):
+        """y_permuted -> natural order."""
+        from .ops import windowed_gather as wg
+
+        _, (plan, inv) = self._boundary_plans()
+        if plan is not None and self.use_pallas and y.dtype == np.float32:
+            return wg.apply_permute(plan, y)
+        import jax.numpy as jnp
+
+        return y[jnp.asarray(inv)]
 
     @property
     def shape(self):
@@ -173,6 +234,8 @@ class VBCOperator:
         the reference converts but ignores it, SURVEY §2.5 quirk)."""
         if self.host_tr is None:
             raise ValueError("operator packed without the transposed direction")
+        if self.row_perm is not None:
+            x = self._to_permuted(x)
         if self._pallas_ok(x):
             from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
@@ -181,6 +244,8 @@ class VBCOperator:
             from .ops.xla import tr_spmv
 
             out = tr_spmv(self._xla_tr(), x)
+        if self.row_perm is not None:
+            out = self._from_permuted(out)
         return _axpby(out, alpha, beta, y)
 
     def mul(self, x, alpha=None, beta=None, y=None):
@@ -188,6 +253,8 @@ class VBCOperator:
         gather kernel on the A.T pack)."""
         if self.host_fw is None:
             raise ValueError("operator packed without the forward direction")
+        if self.row_perm is not None:
+            x = self._to_permuted(x)
         if self._pallas_ok(x):
             from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
@@ -196,6 +263,8 @@ class VBCOperator:
             from .ops.xla import tr_spmv
 
             out = tr_spmv(self._xla_fw(), x)
+        if self.row_perm is not None:
+            out = self._from_permuted(out)
         return _axpby(out, alpha, beta, y)
 
     def tr_mul_chain(self, x, n_iters: int, alpha=None):
@@ -219,7 +288,14 @@ class VBCOperator:
             if fmt3 is not False:
                 from .ops.pallas_trspmv3 import tr_spmv_chain3
 
-                return tr_spmv_chain3(fmt3, x, n_iters, alpha)
+                if self.row_perm is not None:
+                    # symmetric relabeling: the whole chain runs in
+                    # permuted space, boundary permutations paid once
+                    x = self._to_permuted(x)
+                out = tr_spmv_chain3(fmt3, x, n_iters, alpha)
+                if self.row_perm is not None:
+                    out = self._from_permuted(out)
+                return out
         a = None if alpha is None else jnp.asarray(alpha, jnp.float32)
 
         def body(i, xc):

@@ -98,7 +98,7 @@ class StreamClass2:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["classes", "y_perm", "fallback", "y_plan"],
+    data_fields=["classes", "y_perm", "fallback", "y_plan", "fb_gather"],
     meta_fields=["m", "n", "total_slots", "natural"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +111,7 @@ class StreamFormat2:
     fallback: object  # v1 StreamFormat or None
     y_perm: jax.Array  # [n] int32 into [v2 slots | v1 slots]
     y_plan: object  # windowed-gather PermutePlan or None (XLA fallback)
+    fb_gather: tuple = ()  # per fallback class: permute plan or None
 
 
 def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
@@ -332,6 +333,12 @@ def pack_stream2(B: VBC1D) -> StreamFormat2:
 
     natural = bool(np.array_equal(y_perm, np.arange(B.n)))
     y_plan = None if natural else wg.pack_permute(y_perm, max(1, flat_base))
+    fb_gather = ()
+    if fallback is not None:
+        fb_gather = tuple(
+            wg.pack_permute(np.asarray(c.row, dtype=np.int64), B.m)
+            for c in fallback.classes
+        )
     return jax.device_put(
         StreamFormat2(
             m=B.m,
@@ -342,6 +349,7 @@ def pack_stream2(B: VBC1D) -> StreamFormat2:
             fallback=fallback,
             y_perm=y_perm.astype(np.int32),
             y_plan=y_plan,
+            fb_gather=fb_gather,
         )
     )
 
@@ -594,9 +602,14 @@ def tr_spmv_slots(fmt: StreamFormat2, x: jax.Array) -> jax.Array:
     x2d = _x_2d(x, fmt.m)
     outs = [_run_class2(c, x2d) for c in fmt.classes]  # flat slot-major
     if fmt.fallback is not None:
-        for c in fmt.fallback.classes:
-            xg = x[c.row]
-            out = v1._run_class(c, xg.astype(jnp.float32))
+        for c, gplan in zip(fmt.fallback.classes, fmt.fb_gather):
+            if gplan is not None:
+                # Pallas windowed pre-gather (Clos 3-take) — the XLA
+                # gather below runs ~0.6 GB/s on this backend
+                xg = wg.apply_permute(gplan, x)
+            else:
+                xg = x[c.row].astype(jnp.float32)
+            out = v1._run_class(c, xg)
             outs.append(out.T.reshape(-1))
     if not outs:
         return jnp.zeros(0, jnp.float32)

@@ -262,6 +262,16 @@ def pack_clos(perm: np.ndarray, src_len: int,
     seg_vals = pp.reshape(nseg, 1024)
     seg_mask = vmask.reshape(nseg, 1024) > 0
 
+    # vectorized feasibility pre-check: a segment needing more distinct
+    # source tiles than max_w can never route — bail before the
+    # (per-element Python) routing loop
+    tiles_chk = np.where(seg_mask, seg_vals >> 10, -1)
+    ntile_tot = int(tiles_chk.max(initial=0)) + 2
+    pair = np.arange(nseg)[:, None] * ntile_tot + (tiles_chk + 1)
+    uniq_seg = np.unique(pair[seg_mask]) // ntile_tot
+    if np.bincount(uniq_seg, minlength=nseg).max(initial=0) > max_w:
+        return None
+
     metas = []  # per vreg: list of [8,128] int32 planes
     xtiles = np.zeros((nseg, max_w), dtype=np.int32)
     wblk_all = 1

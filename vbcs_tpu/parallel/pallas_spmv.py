@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import pallas_trspmv as pk1
 from ..ops import pallas_trspmv2 as pk2
 from ..ops import windowed_gather as wg
 
@@ -67,7 +68,28 @@ class ShardedClass:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["classes", "y_perm", "y_plan"],
+    data_fields=["val_t", "row", "seg_rel", "s_last", "straddle"],
+    meta_fields=["w", "cq", "chunks_per_dev"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShardedV1Class:
+    """Chunk-sharded v1 (pre-gathered x) fallback class — the path for
+    classes whose x-windows exceed the stream kernel's locality budget.
+    x is replicated; each device gathers only its own blocks' rows."""
+
+    w: int
+    cq: int
+    chunks_per_dev: int
+    val_t: jax.Array  # [D, w, Td*cq]
+    row: jax.Array  # [D, Td*cq]
+    seg_rel: jax.Array  # [D, Td*cq, 1]
+    s_last: jax.Array  # [D, Td]
+    straddle: jax.Array  # [D, Td]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["classes", "fallback", "y_perm", "y_plan"],
     meta_fields=["m", "n", "ndev", "slots_per_dev"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +99,7 @@ class ShardedStream:
     ndev: int
     slots_per_dev: int
     classes: tuple  # ShardedClass
+    fallback: tuple  # ShardedV1Class (empty when all classes are local)
     y_perm: jax.Array  # [n] int32 into the [D * slots_per_dev] layout
     y_plan: object  # PermutePlan or None
 
@@ -98,12 +121,12 @@ def _split_ranges(T: int, straddle: np.ndarray, ndev: int):
 
 
 def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
-    """Repartition a StreamFormat2 into the [D, ...] chunk-sharded layout."""
-    if fmt.fallback is not None:
-        raise NotImplementedError(
-            "sharded execution of non-local fallback classes is not wired "
-            "yet — reorder rows (plan.reorder) for locality first"
-        )
+    """Repartition a StreamFormat2 into the [D, ...] chunk-sharded layout.
+
+    Fallback (non-local) classes shard at their own chunk granularity
+    with replicated x — for scattered rows the halo set IS the whole
+    vector, so replication is the communication-optimal layout."""
+    fb_classes = fmt.fallback.classes if fmt.fallback is not None else ()
     y_perm_old = np.asarray(fmt.y_perm).astype(np.int64)
     classes = []
     # decode old flat slots: per class base and geometry
@@ -112,6 +135,11 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
     for c in fmt.classes:
         old_bases.append(b)
         b += c.num_chunks * NS * c.w
+    NS1 = pk1.NS  # v1 fallback slot granularity differs from v2's
+    fb_bases = []
+    for c in fb_classes:
+        fb_bases.append(b)
+        b += c.num_chunks * NS1 * c.w
 
     # plan shards per class
     plans = []
@@ -122,6 +150,13 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
         Td = max(g1 - g0 for g0, g1 in ranges)
         plans.append((ranges, Td))
         slots_per_dev += Td * NS * c.w
+    fb_plans = []
+    for c in fb_classes:
+        T = c.num_chunks
+        ranges = _split_ranges(T, np.asarray(c.straddle), ndev)
+        Td = max(g1 - g0 for g0, g1 in ranges)
+        fb_plans.append((ranges, Td))
+        slots_per_dev += Td * NS1 * c.w
 
     # new flat index of old slot (class ci, chunk g, slot s, delta)
     y_perm_new = np.zeros_like(y_perm_old)
@@ -130,6 +165,10 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
     for (ranges, Td), c in zip(plans, fmt.classes):
         new_class_off.append(off)
         off += Td * NS * c.w
+    fb_class_off = []
+    for (ranges, Td), c in zip(fb_plans, fb_classes):
+        fb_class_off.append(off)
+        off += Td * NS1 * c.w
 
     lookup = np.zeros(b, dtype=np.int64)
     for ci, c in enumerate(fmt.classes):
@@ -149,6 +188,26 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
             dev[g] * slots_per_dev
             + new_class_off[ci]
             + loc[g] * (NS * w)
+            + rem
+        )
+    for ci, c in enumerate(fb_classes):
+        ranges, Td = fb_plans[ci]
+        T, w = c.num_chunks, c.w
+        base = fb_bases[ci]
+        sz = T * NS1 * w
+        flat = np.arange(sz)
+        # v1 slot-space flat layout is slot-major (T*NS1, w)
+        g = flat // (NS1 * w)
+        rem = flat % (NS1 * w)
+        dev = np.zeros(T, dtype=np.int64)
+        loc = np.zeros(T, dtype=np.int64)
+        for d, (g0, g1) in enumerate(ranges):
+            dev[g0:g1] = d
+            loc[g0:g1] = np.arange(g1 - g0)
+        lookup[base : base + sz] = (
+            dev[g] * slots_per_dev
+            + fb_class_off[ci]
+            + loc[g] * (NS1 * w)
             + rem
         )
     y_perm_new = lookup[y_perm_old]
@@ -188,6 +247,37 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
             )
         )
 
+    fb_out = []
+    for (ranges, Td), c in zip(fb_plans, fb_classes):
+        def take1(arr, per, Td=Td, ranges=ranges, axis=-1):
+            a = np.asarray(arr)
+            outs = []
+            for g0, g1 in ranges:
+                if a.ndim == 2 and a.shape[1] == 1:  # seg_rel [T*cq, 1]
+                    seg = a[g0 * per : g1 * per]
+                    pad = np.full(((Td - (g1 - g0)) * per, 1), NS1, a.dtype)
+                    outs.append(np.concatenate([seg, pad], axis=0))
+                else:
+                    seg = a[..., g0 * per : g1 * per]
+                    pad = np.zeros(
+                        a.shape[:-1] + ((Td - (g1 - g0)) * per,), dtype=a.dtype
+                    )
+                    outs.append(np.concatenate([seg, pad], axis=-1))
+            return np.stack(outs, axis=0)
+
+        fb_out.append(
+            ShardedV1Class(
+                w=c.w,
+                cq=c.cq,
+                chunks_per_dev=Td,
+                val_t=take1(c.val_t, c.cq),
+                row=take1(c.row, c.cq),
+                seg_rel=take1(c.seg_rel, c.cq),
+                s_last=take1(c.s_last, 1),
+                straddle=take1(c.straddle, 1),
+            )
+        )
+
     y_plan = wg.pack_permute(y_perm_new, max(1, ndev * slots_per_dev))
     return ShardedStream(
         m=fmt.m,
@@ -195,6 +285,7 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
         ndev=ndev,
         slots_per_dev=int(slots_per_dev),
         classes=tuple(out_classes),
+        fallback=tuple(fb_out),
         y_perm=y_perm_new.astype(np.int32),
         y_plan=y_plan,
     )
@@ -219,12 +310,21 @@ def place(sfmt: ShardedStream, mesh: Mesh, axis: str = "d") -> ShardedStream:
             straddle=sharded,
         )
 
+    def fb_spec_like(c):
+        sharded = P(axis)
+        return ShardedV1Class(
+            w=c.w, cq=c.cq, chunks_per_dev=c.chunks_per_dev,
+            val_t=sharded, row=sharded, seg_rel=sharded,
+            s_last=sharded, straddle=sharded,
+        )
+
     specs = ShardedStream(
         m=sfmt.m,
         n=sfmt.n,
         ndev=sfmt.ndev,
         slots_per_dev=sfmt.slots_per_dev,
         classes=tuple(spec_like(c) for c in sfmt.classes),
+        fallback=tuple(fb_spec_like(c) for c in sfmt.fallback),
         y_perm=P(),
         y_plan=jax.tree.map(
             lambda _: P(), sfmt.y_plan, is_leaf=lambda x: hasattr(x, "dtype")
@@ -245,7 +345,9 @@ def dist_tr_spmv_pallas(
 ):
     """y = A.T @ x across the mesh (natural order)."""
 
-    def local(cls_shards, x_rep):
+    from ..ops import pallas_trspmv as pk1
+
+    def local(cls_shards, fb_shards, x_rep):
         outs = []
         for c in cls_shards:
             local_cls = pk2.StreamClass2(
@@ -266,6 +368,21 @@ def dist_tr_spmv_pallas(
             x2d = pk2._x_2d(x_rep, sfmt.m)
             out = pk2._run_class2(local_cls, x2d)  # flat slot-major
             outs.append(out)
+        for c in fb_shards:
+            local_v1 = pk1.StreamClass(
+                w=c.w,
+                cq=c.cq,
+                num_chunks=c.chunks_per_dev,
+                num_stripes=0,
+                val_t=c.val_t[0],
+                row=c.row[0],
+                seg_rel=c.seg_rel[0],
+                s_last=c.s_last[0],
+                straddle=c.straddle[0],
+            )
+            xg_fb = x_rep.astype(jnp.float32)[local_v1.row]
+            out = pk1._run_class(local_v1, xg_fb)  # [w, Td*NS]
+            outs.append(out.T.reshape(-1))
         return jnp.concatenate(outs)[None, :]  # [1, slots_per_dev]
 
     class_specs = tuple(
@@ -276,13 +393,21 @@ def dist_tr_spmv_pallas(
         )
         for c in sfmt.classes
     )
+    fb_specs = tuple(
+        jax.tree.map(
+            lambda _: P(axis),
+            c,
+            is_leaf=lambda x: hasattr(x, "dtype"),
+        )
+        for c in sfmt.fallback
+    )
     slots = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(class_specs, P()),
+        in_specs=(class_specs, fb_specs, P()),
         out_specs=P(axis),
         check_vma=False,  # pallas_call outputs carry no vma annotation
-    )(sfmt.classes, x)
+    )(sfmt.classes, sfmt.fallback, x)
     flat = slots.reshape(-1)
     if sfmt.y_plan is not None:
         return wg.apply_permute(sfmt.y_plan, flat)
@@ -383,7 +508,9 @@ def dist_tr_spmv_pallas_halo(
         .reshape(D, tpd * 8, 128)
     )
 
-    def local(cls_shards, xt_locals, x_shard, send_idx):
+    from ..ops import pallas_trspmv as pk1
+
+    def local(cls_shards, fb_shards, xt_locals, x_shard, send_idx):
         own = x_shard[0]  # [tpd*8, 128]
         tiles = own.reshape(tpd, 1024)
         send = tiles[send_idx[0]]  # [D*H, 1024]
@@ -409,20 +536,39 @@ def dist_tr_spmv_pallas_halo(
                 straddle=c.straddle[0],
             )
             outs.append(pk2._run_class2(local_cls, x2d))
+        if fb_shards:
+            # non-local classes: the halo set is the whole vector, so
+            # an all-gather (replication) is the right communication
+            x_full = jax.lax.all_gather(
+                x_shard[0], axis, axis=0, tiled=True
+            ).reshape(-1)[: sfmt.m]
+            for c in fb_shards:
+                local_v1 = pk1.StreamClass(
+                    w=c.w, cq=c.cq, num_chunks=c.chunks_per_dev,
+                    num_stripes=0, val_t=c.val_t[0], row=c.row[0],
+                    seg_rel=c.seg_rel[0], s_last=c.s_last[0],
+                    straddle=c.straddle[0],
+                )
+                out = pk1._run_class(local_v1, x_full[local_v1.row])
+                outs.append(out.T.reshape(-1))
         return jnp.concatenate(outs)[None, :]
 
     class_specs = tuple(
         jax.tree.map(lambda _: P(axis), c, is_leaf=lambda x_: hasattr(x_, "dtype"))
         for c in sfmt.classes
     )
+    fb_specs = tuple(
+        jax.tree.map(lambda _: P(axis), c, is_leaf=lambda x_: hasattr(x_, "dtype"))
+        for c in sfmt.fallback
+    )
     xt_specs = tuple(P(axis) for _ in halo.xtile_local)
     slots = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(class_specs, xt_specs, P(axis), P(axis)),
+        in_specs=(class_specs, fb_specs, xt_specs, P(axis), P(axis)),
         out_specs=P(axis),
         check_vma=False,
-    )(sfmt.classes, halo.xtile_local, xg, halo.send_idx)
+    )(sfmt.classes, sfmt.fallback, halo.xtile_local, xg, halo.send_idx)
     flat = slots.reshape(-1)
     if sfmt.y_plan is not None:
         return wg.apply_permute(sfmt.y_plan, flat)
