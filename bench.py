@@ -210,11 +210,12 @@ def main():
     #     itself loses to CSC on (src/ref.out:120-131); reported honestly.
     from vbcs_tpu.operator import VBCOperator
 
-    Af = fem_matrix()
+    Af = fem_matrix().astype(np.float32)
     op_f = VBCOperator.from_csc(Af, W=8)
     xf = jnp.asarray(
         np.random.default_rng(3).standard_normal(Af.shape[0]), jnp.float32
     )
+    op_f.tr_mul_chain(xf, 1)  # eager warmup: materialize lazy packs
 
     def mk_fem(n):
         def f(x0):
@@ -233,11 +234,12 @@ def main():
 
         Ar = sp.random(82654, 82654, 574458 / 82654**2, random_state=9,
                        format="csc")
-        op_r = VBCOperator.from_csc(Ar, W=8)
+        op_r = VBCOperator.from_csc(Ar.astype(np.float32), W=8)
         xr = jnp.asarray(
             np.random.default_rng(4).standard_normal(Ar.shape[0]),
             jnp.float32,
         )
+        op_r.tr_mul(xr)  # eager warmup
 
         def mk_rand(n):
             def f(x0):

@@ -129,15 +129,18 @@ class VBCOperator:
 
     def _boundary_plans(self):
         if self._perm_plans is None:
+            import jax
+
             from .ops import windowed_gather as wg
 
             perm = np.asarray(self.row_perm, dtype=np.int64)
             inv = np.empty_like(perm)
             inv[perm] = np.arange(perm.size)
-            self._perm_plans = (
-                (wg.pack_permute(perm, perm.size), perm),
-                (wg.pack_permute(inv, inv.size), inv),
-            )
+            with jax.ensure_compile_time_eval():
+                self._perm_plans = (
+                    (wg.pack_permute(perm, perm.size), perm),
+                    (wg.pack_permute(inv, inv.size), inv),
+                )
         return self._perm_plans
 
     def _to_permuted(self, x):
@@ -178,39 +181,54 @@ class VBCOperator:
 
     def _pallas_tr(self):
         if self._fmt_tr is None:
+            import jax
+
             from .ops.pallas_trspmv2 import pack_stream2
 
-            self._fmt_tr = pack_stream2(self.host_tr)
+            with jax.ensure_compile_time_eval():
+                self._fmt_tr = pack_stream2(self.host_tr)
         return self._fmt_tr
 
     def _pallas_tr_chain(self):
         """v3 fused-chain format, or False if the matrix doesn't qualify
         (multi-width classes, non-square, or gather-matching failure)."""
         if self._fmt_tr3 is None:
+            import jax
+
             from .ops.pallas_trspmv3 import pack_stream3
 
-            self._fmt_tr3 = pack_stream3(self.host_tr)
+            with jax.ensure_compile_time_eval():
+                self._fmt_tr3 = pack_stream3(self.host_tr)
             if self._fmt_tr3 is None:
                 self._fmt_tr3 = False
         return self._fmt_tr3
 
     def _pallas_fw(self):
         if self._fmt_fw is None:
+            import jax
+
             from .ops.pallas_trspmv2 import pack_stream2
 
-            self._fmt_fw = pack_stream2(self.host_fw)
+            with jax.ensure_compile_time_eval():
+                self._fmt_fw = pack_stream2(self.host_fw)
         return self._fmt_fw
 
     def _xla_tr(self):
         if self._dev_tr is None:
+            import jax
+
             # matrix's own dtype (reference runs Float64/Bool/Int32
             # semirings, test/runtests.jl:15-16 + src/hacks.jl:1)
-            self._dev_tr = bin_vbc1d(self.host_tr)
+            with jax.ensure_compile_time_eval():
+                self._dev_tr = bin_vbc1d(self.host_tr)
         return self._dev_tr
 
     def _xla_fw(self):
         if self._dev_fw is None:
-            self._dev_fw = bin_vbc1d(self.host_fw)
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._dev_fw = bin_vbc1d(self.host_fw)
         return self._dev_fw
 
     def _pallas_ok(self, x) -> bool:
@@ -307,16 +325,41 @@ class VBCOperator:
     def tr_mul_mat(self, X):
         """Y = A.T @ X (dense RHS [m, k]).
 
-        k-tiled Pallas kernel: each pass streams the block values once
-        against KT RHS columns (ops/pallas_spmm.py).
+        Single-class formats run the v3 k-tiled SpMM (shared 2-take
+        gather across KT=32 RHS columns, ops/pallas_spmm3.py); others
+        the v2 k-tiled kernel (ops/pallas_spmm.py).
         """
         if self._pallas_ok(X):
+            if self.row_perm is None:
+                fmt3 = self._pallas_tr_chain()
+                if fmt3 is not False:
+                    from .ops.pallas_spmm3 import tr_spmm_pallas3
+
+                    return tr_spmm_pallas3(fmt3, X)
             from .ops.pallas_spmm import tr_spmm_pallas
 
-            return tr_spmm_pallas(self._pallas_tr(), X)
+            X2 = self._to_permuted_mat(X) if self.row_perm is not None else X
+            out = tr_spmm_pallas(self._pallas_tr(), X2)
+            if self.row_perm is not None:
+                import jax.numpy as jnp
+
+                inv = jnp.asarray(np.argsort(np.asarray(self.row_perm)))
+                out = out[inv]
+            return out
         from .ops.xla import tr_spmm
 
+        if self.row_perm is not None:
+            import jax.numpy as jnp
+
+            perm = jnp.asarray(np.asarray(self.row_perm))
+            inv = jnp.asarray(np.argsort(np.asarray(self.row_perm)))
+            return tr_spmm(self._xla_tr(), X[perm])[inv]
         return tr_spmm(self._xla_tr(), X)
+
+    def _to_permuted_mat(self, X):
+        import jax.numpy as jnp
+
+        return X[jnp.asarray(np.asarray(self.row_perm))]
 
     def mul_mat(self, X):
         """Y = A @ X (dense RHS [n, k])."""
