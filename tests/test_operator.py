@@ -268,3 +268,32 @@ def test_auto_rcm_reorder():
     want_c = 0.5 * (A.T @ (0.5 * (A.T @ x.astype(np.float64))))
     np.testing.assert_allclose(got_c, want_c.astype(np.float32),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_auto_rcm_mul_mat():
+    """mul_mat / tr_mul_mat apply the auto-RCM boundary permutations
+    (round-2 advisor finding: mul_mat returned permuted-row output)."""
+    A = _grid_laplacian(40)
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False, reorder="always")
+    assert op.row_perm is not None
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((A.shape[1], 3)).astype(np.float32)
+    got = np.asarray(op.mul_mat(jnp.asarray(X)))
+    np.testing.assert_allclose(got, (A @ X).astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
+    got_t = np.asarray(op.tr_mul_mat(jnp.asarray(X)))
+    np.testing.assert_allclose(got_t, (A.T @ X).astype(np.float32),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_chain_dtype_and_zero_iters():
+    """tr_mul_chain stays dtype-correct (f64 never silently downcast to
+    the f32 Pallas chain) and n_iters=0 returns x unchanged."""
+    A = CORPUS["HB/can_292"].astype(np.float64)
+    op = VBCOperator.from_csc(A, W=4, use_pallas=False)
+    x = np.random.default_rng(2).standard_normal(A.shape[0])
+    out = np.asarray(op.tr_mul_chain(jnp.asarray(x), 2))
+    assert out.dtype == np.float64
+    np.testing.assert_allclose(out, A.T @ (A.T @ x), rtol=1e-10, atol=1e-10)
+    out0 = np.asarray(op.tr_mul_chain(jnp.asarray(x), 0))
+    np.testing.assert_array_equal(out0, x)

@@ -101,21 +101,26 @@ class VBCOperator:
         method_forward = method_forward or method
 
         row_perm = None
+        probe_pack = None  # reused as host_tr (same method/W as the probe)
         if reorder in ("auto", "always") and A.m == A.n and A.m > 1024:
             from .plan.reorder import rcm_symmetric, window_badness
 
-            probe = pack_1dvbc(A, pack_stripe(A, method), W)
-            bad = window_badness(probe)
+            probe_pack = pack_1dvbc(A, pack_stripe(A, method), W)
+            bad = window_badness(probe_pack)
             if reorder == "always" or bad > 0.05:
                 Ap, perm = rcm_symmetric(A)
                 probe_p = pack_1dvbc(Ap, pack_stripe(Ap, method), W)
                 if reorder == "always" or window_badness(probe_p) < bad:
                     A, row_perm = Ap, perm
+                    probe_pack = probe_p
 
         host_tr = host_fw = None
         if directions in ("both", "transposed"):
-            Phi = pack_stripe(A, method)
-            host_tr = pack_1dvbc(A, Phi, W)
+            if probe_pack is not None:
+                host_tr = probe_pack
+            else:
+                Phi = pack_stripe(A, method)
+                host_tr = pack_1dvbc(A, Phi, W)
         if directions in ("both", "forward"):
             At = A.transpose()
             Phi_f = pack_stripe(At, method_forward)
@@ -301,7 +306,7 @@ class VBCOperator:
         import jax
         import jax.numpy as jnp
 
-        if self.use_pallas and self.m == self.n:
+        if self._pallas_ok(x) and self.m == self.n and n_iters >= 1:
             fmt3 = self._pallas_tr_chain()
             if fmt3 is not False:
                 from .ops.pallas_trspmv3 import tr_spmv_chain3
@@ -362,13 +367,27 @@ class VBCOperator:
         return X[jnp.asarray(np.asarray(self.row_perm))]
 
     def mul_mat(self, X):
-        """Y = A @ X (dense RHS [n, k])."""
+        """Y = A @ X (dense RHS [n, k]); with auto-RCM the operator is
+        A[perm][:, perm], so X is gathered in and Y scattered back out."""
         if self._pallas_ok(X):
             from .ops.pallas_spmm import tr_spmm_pallas
 
-            return tr_spmm_pallas(self._pallas_fw(), X)
+            X2 = self._to_permuted_mat(X) if self.row_perm is not None else X
+            out = tr_spmm_pallas(self._pallas_fw(), X2)
+            if self.row_perm is not None:
+                import jax.numpy as jnp
+
+                inv = jnp.asarray(np.argsort(np.asarray(self.row_perm)))
+                out = out[inv]
+            return out
         from .ops.xla import tr_spmm
 
+        if self.row_perm is not None:
+            import jax.numpy as jnp
+
+            perm = jnp.asarray(np.asarray(self.row_perm))
+            inv = jnp.asarray(np.argsort(np.asarray(self.row_perm)))
+            return tr_spmm(self._xla_fw(), X[perm])[inv]
         return tr_spmm(self._xla_fw(), X)  # (A.T).T @ X == A @ X
 
     # ---- host oracles -----------------------------------------------------

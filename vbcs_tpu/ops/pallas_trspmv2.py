@@ -602,7 +602,12 @@ def tr_spmv_slots(fmt: StreamFormat2, x: jax.Array) -> jax.Array:
     x2d = _x_2d(x, fmt.m)
     outs = [_run_class2(c, x2d) for c in fmt.classes]  # flat slot-major
     if fmt.fallback is not None:
-        for c, gplan in zip(fmt.fallback.classes, fmt.fb_gather):
+        fbg = fmt.fb_gather
+        if len(fbg) != len(fmt.fallback.classes):
+            # format built without fb_gather (e.g. dataclasses.replace on
+            # an old instance): fall back to the plain XLA gather per class
+            fbg = (None,) * len(fmt.fallback.classes)
+        for c, gplan in zip(fmt.fallback.classes, fbg):
             if gplan is not None:
                 # Pallas windowed pre-gather (Clos 3-take) — the XLA
                 # gather below runs ~0.6 GB/s on this backend
