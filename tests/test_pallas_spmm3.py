@@ -65,7 +65,7 @@ def test_spmm3_slot_mode_k5_pad():
 def test_spmm3_nonidentity():
     A = banded(512, 512, 40, 200, seed=6)
     fmt = check(A, 2, v.EquiChunker(2), k=8, kt=4)
-    assert not fmt.identity
+    assert not all(fmt.identities)
 
 
 def test_spmm3_basis_columns_bitwise():

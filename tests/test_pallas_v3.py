@@ -80,7 +80,7 @@ def test_natural_identity_flagship_shape():
     A.sum_duplicates()
     fmt = check_chain(A, 8, v.EquiChunker(8), n_iters=3, alpha=0.9,
                       expect_natural=True)
-    assert fmt.identity and not fmt.has_straddle
+    assert all(fmt.identities) and not fmt.has_straddle
 
 
 def test_natural_chain3():
@@ -104,7 +104,7 @@ def test_nonidentity_runs():
     A = banded(512, 512, 40, 200, seed=6)
     fmt = check_chain(A, 2, v.EquiChunker(2), n_iters=2,
                       expect_natural=False)
-    assert not fmt.identity
+    assert not all(fmt.identities)
 
 
 def test_straddle_carry():
@@ -155,13 +155,56 @@ def test_basis_vectors_bitwise():
         np.testing.assert_array_equal(y, Ad[i, :])
 
 
-def test_multiclass_returns_none():
+def test_nonsquare_returns_none():
     A = banded(300, 400, 5, 100, seed=10)
+    B = v.vbc1d(A, 4, v.EquiChunker(4))
+    assert pk3.pack_stream3(B) is None
+
+
+def test_multiclass_dp_plan_chain():
+    """The DP planner's variable-width output runs the fused chain
+    directly (round-2 verdict item 2: planner and fast kernel must not
+    be mutually exclusive)."""
+    A = banded(500, 500, 5, 60, seed=12)
     B = v.vbc1d(A, 4, v.DynamicTotalChunker(v.model_1dvbc_memory(4, 4), 4))
     widths = B.Phi.widths()
     if (widths == widths[0]).all():
         pytest.skip("planner happened to produce a single class")
-    assert pk3.pack_stream3(B) is None
+    fmt = pk3.pack_stream3(B)
+    assert fmt is not None and len(fmt.ws) > 1
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(500).astype(np.float32)
+    for n_iters in (1, 3):
+        y = np.asarray(pk3.tr_spmv_chain3(fmt, jnp.asarray(x), n_iters))
+        want = x.astype(np.float64)
+        for _ in range(n_iters):
+            want = A.T @ want
+        want = want.astype(np.float32)
+        scale = max(1e-6, np.abs(want).max())
+        np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
+
+
+def test_multiclass_mixed_small_widths():
+    """Hand-built widths {1, 2, 3} partition across class segments."""
+    A = banded(384, 384, 4, 40, seed=13)
+    spl = [0]
+    wseq = [1, 2, 3, 2, 1, 3]
+    i = 0
+    while spl[-1] < 384:
+        spl.append(min(384, spl[-1] + wseq[i % len(wseq)]))
+        i += 1
+    from vbcs_tpu.formats.partition import SplitPartition
+
+    B = v.vbc1d(A, 4, SplitPartition(np.asarray(spl, dtype=np.int64)))
+    fmt = pk3.pack_stream3(B)
+    assert fmt is not None and len(fmt.ws) == 3
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(384).astype(np.float32)
+    y = np.asarray(pk3.tr_spmv_chain3(fmt, jnp.asarray(x), 2, 0.5))
+    want = 0.5 * (A.T @ (0.5 * (A.T @ x.astype(np.float64))))
+    want = want.astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
 
 
 def test_corpus_can292():

@@ -205,3 +205,10 @@ def stream_chunk_plan_native(ngr: np.ndarray, NG: int, NS: int):
     P, T = int(out_np[0]), int(out_nc[0])
     pieces = np.stack([pi[:P], pg0[:P], pg1[:P], pch[:P]], axis=1)
     return pieces, straddle[:T].astype(np.int32), nslots[:T].astype(np.int32)
+
+
+def match_tables_native(T, nv, vreg_of_blk, hs, tile, lo, real,
+                        stripe_of_grp=None):
+    """C++ A-table matcher for the v3 stream packer; None if the lib
+    is unavailable (callers fall back to the Python oracle)."""
+    return None  # native implementation lands with clos_route

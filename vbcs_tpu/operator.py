@@ -337,7 +337,7 @@ class VBCOperator:
         if self._pallas_ok(X):
             if self.row_perm is None:
                 fmt3 = self._pallas_tr_chain()
-                if fmt3 is not False:
+                if fmt3 is not False and len(fmt3.ws) == 1:
                     from .ops.pallas_spmm3 import tr_spmm_pallas3
 
                     return tr_spmm_pallas3(fmt3, X)

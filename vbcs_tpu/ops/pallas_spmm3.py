@@ -4,6 +4,9 @@ BASELINE.json config 4 (k = 32/128 dense RHS columns).  Built on the v3
 stream format (:mod:`vbcs_tpu.ops.pallas_trspmv3`): the exact 2-take
 gather's A-tables are shared across RHS columns — per chunk the row
 indices are decoded once and only the *window data* differs per column.
+Single-width-class formats only (the caller falls back to the v2 SpMM
+for mixed-width partitions); gathers use the format's natural-layout
+meta (``meta_nat`` / ``xtile_nat``).
 
 Traffic shape (the thing that matters at k = 128, where the RHS dwarfs
 the value stream): per chunk each (vreg, window) streams a
@@ -111,7 +114,7 @@ def _spmm3_kernel(w, nwin, scan_steps, identity, kt, ng, ns):
             red = prod.reshape(w, 8, ng).sum(axis=1)  # [w, ng]
             if identity or scan_steps == 0:
                 sc = red
-                tot = red
+                tot = red[:, :ns]
             else:
                 sc = red
                 k = 1
@@ -154,30 +157,31 @@ def _spmm3_kernel(w, nwin, scan_steps, identity, kt, ng, ns):
 
 
 def _xt_planes(fmt: pk3.StreamFormat3, X: jax.Array) -> jax.Array:
-    """RHS [m, k] -> k-major slot-buffer planes [k, 8, XL] (each
-    column laid out exactly like the SpMV chain's x buffer)."""
+    """RHS [m, k] -> k-major buffer planes [k, 8, XL] (each column laid
+    out exactly like the SpMV chain's natural x buffer: x[r] at
+    ((r>>7)&7, (r>>10)*128 + (r&127)))."""
     XL, m = fmt.X, fmt.m
     k = X.shape[1]
-    if fmt.natural:  # x[r] at (r & 7, r >> 3)
-        Xp = jnp.zeros((8 * XL, k), jnp.float32).at[:m].set(
-            X.astype(jnp.float32))
-        return Xp.reshape(XL, 8, k).transpose(2, 1, 0)
-    g = X.astype(jnp.float32)[fmt.entry_sub, :]  # [8, XL, k]
-    g = g * fmt.entry_lane.astype(jnp.float32)[:, :, None]
-    return g.transpose(2, 0, 1)
+    R = XL // 128
+    Xp = jnp.zeros((R * 1024, k), jnp.float32).at[:m].set(
+        X.astype(jnp.float32))
+    return Xp.reshape(R, 8, 128, k).transpose(3, 1, 0, 2).reshape(k, 8, XL)
 
 
 def tr_spmm_pallas3(fmt: pk3.StreamFormat3, X: jax.Array,
                     kt: int = KT) -> jax.Array:
-    """Y = A.T @ X, [n, k] (k-tiled v3 stream SpMM)."""
+    """Y = A.T @ X, [n, k] (k-tiled v3 stream SpMM; single-class fmt)."""
+    assert len(fmt.ws) == 1, "v3 SpMM runs single-width-class formats"
     m, k = X.shape
-    w, T, nwin, ng, ns = fmt.w, fmt.num_chunks, fmt.nwin, fmt.ng, fmt.ns
+    w, T, ng, ns = fmt.ws[0], fmt.num_chunks, fmt.ng, fmt.ns
+    nwin = fmt.nwin
+    identity = fmt.identities[0]
+    scan_steps = fmt.scan_steps[0]
     nv = ng // 128
     kt = min(kt, max(1, k))
     k_pad = -(-k // kt) * kt
     if k_pad != k:
         X = jnp.concatenate([X, jnp.zeros((m, k_pad - k), X.dtype)], axis=1)
-    XL = fmt.X
     win_specs = [
         pl.BlockSpec(
             (kt, 8, 128),
@@ -196,8 +200,8 @@ def tr_spmm_pallas3(fmt: pk3.StreamFormat3, X: jax.Array,
         pl.BlockSpec((8, ng), lambda g, *_: (0, g),
                      memory_space=pltpu.VMEM),
     ]
-    args = [fmt.val_i, fmt.meta]
-    if not fmt.identity:
+    args = [fmt.vals[0], fmt.meta_nat]
+    if not identity:
         in_specs += [
             pl.BlockSpec((1, ng), lambda g, *_: (0, g),
                          memory_space=pltpu.VMEM),
@@ -214,7 +218,7 @@ def tr_spmm_pallas3(fmt: pk3.StreamFormat3, X: jax.Array,
         scratch_shapes=[pltpu.VMEM((8 * kt, 128), jnp.float32)],
     )
     call = pl.pallas_call(
-        _spmm3_kernel(w, nwin, fmt.scan_steps, fmt.identity, kt, ng, ns),
+        _spmm3_kernel(w, nwin, scan_steps, identity, kt, ng, ns),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kt, w, T * ns), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -224,12 +228,12 @@ def tr_spmm_pallas3(fmt: pk3.StreamFormat3, X: jax.Array,
     y_tiles = []
     for k0 in range(0, k_pad, kt):
         Xt = _xt_planes(fmt, X[:, k0:k0 + kt])
-        out = call(fmt.xtile, fmt.nslots, fmt.straddle, *args,
+        out = call(fmt.xtile_nat, fmt.nslots, fmt.straddle, *args,
                    *([Xt] * (nv * nwin)))  # [kt, w, T*ns]
         y_tiles.append(out)
     Yt = jnp.concatenate(y_tiles, axis=0)  # [k_pad, w, T*ns]
     if fmt.natural:
         Y = Yt.transpose(2, 1, 0).reshape(-1, k_pad)[: fmt.n]
     else:
-        Y = Yt[:, fmt.exit_sub, fmt.exit_lane].T
+        Y = Yt[:, fmt.exit_wi, fmt.exit_lane].T
     return Y[:, :k]

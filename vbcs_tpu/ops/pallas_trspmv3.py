@@ -1,11 +1,10 @@
 """Pallas TrSpMV v3 — fused chained SpMV at HBM-roofline rate.
 
-The round-2 redesign of the hot kernel (reference
+The hot kernel for ``y = (alpha A^T)^k x`` (reference
 ``src/multiply_1DVBC.jl:90-180``), built from real-chip probe data
-(``bench_tools/probe_kernel*.py``, ``probe_chain.py``):
+(``bench_tools/probe_kernel*.py``, ``probe_chain.py``) and generalized
+in round 3 to the DP planner's *variable-width* partitions:
 
-* the v2 per-sublane broadcast+take+select gather ladder costs ~500
-  ns/chunk (the kernel was compute-bound at 39% of the HBM roofline);
 * ``take_along_axis`` works along *both* axes of an (8, 128) vreg on
   this Mosaic backend, enabling an **exact two-take gather**:
   ``t0 = take(win, A, axis=0); xg = take(t0, lo, axis=1)`` reads
@@ -15,38 +14,41 @@ The round-2 redesign of the hot kernel (reference
 * a fused **chain grid** ``(n_iters, T)`` holds the x/y slot vectors
   in VMEM scratch (ping-pong), so an iterative SpMV re-reads only the
   value + metadata streams from HBM — no per-iteration x/y HBM
-  traffic, no slot->natural permutation, no in-kernel transpose.
+  traffic, no slot->natural permutation, no in-kernel transpose;
+* **multi-class**: each exact stripe width ``w`` gets its own chunk
+  segment of the grid (``offs[c] <= t < offs[c+1]`` guarded by
+  ``pl.when``) with its own value stream ``vals[c] [8w, T_c*ng]``;
+  the gather metadata, segmented-scan masks and slot bookkeeping are
+  width-independent and stream as single global arrays.  This is the
+  TPU analog of the reference's width-specialization if-chain
+  (``src/multiply_1DVBC.jl:123-127`` via ``le_nest``) — the DP
+  planner's mixed-width output runs the fast path, not a fallback;
+* **dual meta**: iteration 0 gathers straight from the *natural*
+  layout (``x`` padded and reshaped to (8, X) — a free reshape, no
+  entry permutation), via a second meta stream ``meta_nat`` that is
+  only fetched on the first grid iteration; iterations >= 1 gather
+  from the slot layout the kernel itself writes;
+* the final iteration stores **transposed (ns, 8) blocks**, so the
+  flat HBM output is slot-major and the natural-order exit is a
+  reshape (uniform natural formats) or one Clos-routed Pallas permute
+  (``ops/windowed_gather``) — never an XLA gather/transpose pass.
 
-Measured on TPU v5e (probe_chain.py): full body + carry = 542-565
-ns/chunk = 116-121 Gnnz/s vs the 143.7 Gnnz/s roofline.
+Format contract: square matrices, all stripe widths <= 8, and
+``8 * X <= 8 * MAX_X`` slot-buffer VMEM.  Anything else returns None
+and the caller uses the v2 per-call kernel.
 
-Format contract (single exact-width class; multi-class formats fall
-back to the v2 kernel):
-
-* ``val_i [8w, T*NG]`` f32 — v2's interleaved-8 block layout: lane =
-  8-block group, sublane band ``wi*8 + s`` = output column ``wi`` of
-  block slot ``s``.
-* ``meta [8, T*NG]`` int32 — ONE fused stream: element ``(s, c)``
-  carries in its low bits the gather coordinates of the block at slot
-  ``s`` of group-column ``c`` (bits 0-6 ``lo`` = lane offset within
-  the window, bits 7-9 ``d`` = window id), and in its high bits the
-  **A-table cells** of the enclosing vreg (bits ``10+3d .. 12+3d`` =
-  sublane of the x element that window ``d``'s gather serves at lane
-  position ``c % 128``).  Table cells and block coordinates are
-  independent index spaces that happen to share an array.
-* ``xtile [T*nv*nwin]`` int32 — 128-aligned window base lanes.
-* x lives in a 2-D slot buffer ``(8, X)``: natural mode places
-  ``x[r]`` at ``(r & 7, r >> 3)`` (a reshape of x); slot mode places
-  stripe ``l``'s column ``wi`` at ``(wi, P(l))`` where ``P`` is the
-  chunk/slot position of the stripe — the *output* layout, so a
-  square chain composes with zero data movement.
+x slot layout: natural mode (iteration-0 input) places ``x[r]`` at
+``(r // X, r % X)``; slot mode (the chain's own output layout) places
+stripe ``l``'s column ``wi`` at ``(wi, P(l))`` where ``P`` is the
+stripe's global slot lane — the *output* layout, so a square chain
+composes with zero data movement.
 
 Pack-time sublane assignment: the 8 blocks of each group are permuted
 so that every block's window-d A-table cell ``(s, lo)`` is free or
 already holds its x-sublane (blocks from different groups wanting the
-same x element share cells).  A per-group DFS with window
-duplication as a relief valve solves this; classes where it fails
-fall back to v2.
+same x element share cells).  A per-group DFS with window duplication
+as a relief valve solves this; stripes where it fails are *reflowed*
+(split over more groups) and the whole pack retried.
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.vbc1d import VBC1D
+from . import windowed_gather as wg
 
 __all__ = ["StreamFormat3", "pack_stream3", "tr_spmv_chain3"]
 
@@ -72,49 +75,55 @@ MAX_X = 131072  # xy slot-buffer lanes cap (2*8*X*4 = 8 MB of VMEM)
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["val_i", "meta", "xtile", "nslots", "straddle", "gseg",
-                 "ends", "entry_sub", "entry_lane", "exit_sub", "exit_lane"],
-    meta_fields=["w", "num_chunks", "nwin", "scan_steps", "identity",
-                 "has_straddle", "m", "n", "X", "natural", "ng", "ns"],
+    data_fields=["vals", "meta_nat", "meta_slot", "xtile_nat", "xtile_slot",
+                 "nslots", "straddle", "gseg", "ends", "exit_plan",
+                 "exit_idx", "exit_wi", "exit_lane"],
+    meta_fields=["ws", "offs", "scan_steps", "identities", "nwins",
+                 "nwin", "num_chunks", "has_straddle", "has_scan",
+                 "m", "n", "X", "natural", "ng", "ns"],
 )
 @dataclasses.dataclass(frozen=True)
 class StreamFormat3:
-    w: int
-    num_chunks: int
-    nwin: int
-    scan_steps: int
-    identity: bool
+    ws: tuple  # class widths (ascending)
+    offs: tuple  # len C+1 global chunk offsets per class
+    scan_steps: tuple  # per class
+    identities: tuple  # per class
+    nwins: tuple  # per class (max over nat/slot modes)
+    nwin: int  # global xtile stride (max of nwins)
+    num_chunks: int  # T total
     has_straddle: bool
+    has_scan: bool  # any class non-identity -> gseg/ends present
     m: int
     n: int
     X: int  # slot-buffer lanes
-    natural: bool  # uniform width-8 natural stripes: entry/exit = reshape
-    ng: int  # groups (lanes) per chunk
-    ns: int  # stripe slots per chunk
-    val_i: jax.Array  # [8w, T*NG] f32
-    meta: jax.Array  # [8, T*NG] int32 fused lo|d|tables
-    xtile: jax.Array  # [T*nv*nwin] int32 window base lanes
-    nslots: jax.Array  # [T] int32
-    straddle: jax.Array  # [T] int32
-    gseg: object  # [1, T*NG] int32 or None (identity classes)
-    ends: object  # [1, T*NS] int32 or None
-    entry_sub: object  # [8, X] int32 gather (slot mode) or None (natural)
-    entry_lane: object
-    exit_sub: object  # [n] int32 or None (natural)
-    exit_lane: object
+    natural: bool  # uniform width-8 natural stripes: exit = reshape
+    ng: int
+    ns: int
+    vals: tuple  # per class [8*w_c, T_c*ng] f32
+    meta_nat: jax.Array  # [8, T*ng] i32 (iteration-0 gather)
+    meta_slot: jax.Array  # [8, T*ng] i32 (steady-state gather)
+    xtile_nat: jax.Array  # [T*nv*nwin] i32 window base lanes
+    xtile_slot: jax.Array
+    nslots: jax.Array  # [T] i32
+    straddle: jax.Array  # [T] i32
+    gseg: object  # [1, T*ng] i32 or None
+    ends: object  # [1, T*ns] i32 or None
+    exit_plan: object  # windowed_gather plan (slot-major flat -> y) or None
+    exit_idx: object  # [n] i32 flat slot-major index, or None (natural)
+    exit_wi: object  # [n] i32 output column within stripe (SpMM exit)
+    exit_lane: object  # [n] i32 global slot lane (SpMM exit)
 
 
 # --------------------------------------------------------------------------
 # pack
 
 
-def _chunk_plan(B: VBC1D, ng=NG, ns=NS, extra=None):
-    """Chunk layout for the single stripe class (same plan as v2).
+def _chunk_plan(nb: np.ndarray, ng=NG, ns=NS, extra=None):
+    """Chunk layout for one width class (``nb`` = blocks per stripe).
 
     ``extra[stripe]`` adds padding groups — the reflow relief valve
     when the A-table matcher cannot place a stripe's blocks."""
-    S = B.Phi.spl.size - 1
-    nb = (B.pos[1:] - B.pos[:-1]).astype(np.int64)
+    S = nb.size
     ngr = np.maximum(1, -(-nb // 8))
     if extra is not None:
         ngr = ngr + extra
@@ -173,8 +182,7 @@ def _chunk_plan(B: VBC1D, ng=NG, ns=NS, extra=None):
     end_lane = lane0[last_piece] + plen[last_piece] - 1
     first_end = np.searchsorted(end_chunk, np.arange(T), side="left")
     slot = np.arange(S) - first_end[end_chunk]
-    P = end_chunk * ns + slot  # stripe -> slot-buffer lane
-
+    # stripe -> (local chunk, slot); global slot lane = (off+chunk)*ns+slot
     max_run = int(plen.max(initial=1))
     scan_steps = 0
     while (1 << scan_steps) < max_run:
@@ -183,27 +191,110 @@ def _chunk_plan(B: VBC1D, ng=NG, ns=NS, extra=None):
         S=S, nb=nb, T=T, straddle=straddle, nslots=nslots,
         grp_stripe=grp_stripe, grp_in_stripe=grp_in_stripe,
         grp_chunk=grp_chunk, grp_col=grp_col, grp_run=grp_run,
-        end_chunk=end_chunk, end_lane=end_lane, P=P, ngr=ngr,
-        scan_steps=scan_steps, identity=bool(max_run == 1),
+        end_chunk=end_chunk, end_lane=end_lane, slot=slot, ngr=ngr,
+        scan_steps=scan_steps,
+        identity=bool(max_run == 1),
     )
+
+
+def _match_fixed(T, nv, vreg_of_blk, hs, tile, lo, real, fixed_sub,
+                 stripe_of_grp=None):
+    """A-table matching with a *prescribed* block->sublane assignment
+    (the slot-mode assignment, which the value stream is laid out for).
+    Only the window choice is free; conflicting cells are resolved by
+    duplicating the contended tile as an extra window.  Returns the
+    same tuple as :func:`_match_tables` or a set of stripes to reflow."""
+    nblk = hs.size
+    ngrp = nblk // 8
+    nvreg = T * nv
+    tables = np.full((nvreg, MAX_NWIN, 8, 128), -1, dtype=np.int16)
+    win_tiles = np.full((nvreg, MAX_NWIN), -1, dtype=np.int64)
+    nwin_v = np.zeros(nvreg, dtype=np.int64)
+    win_assign = np.zeros(nblk, dtype=np.int64)
+
+    vreg_g = vreg_of_blk.reshape(ngrp, 8)[:, 0]
+    vstart = np.searchsorted(vreg_g, np.arange(nvreg), side="left")
+    vend = np.searchsorted(vreg_g, np.arange(nvreg), side="right")
+    failed_stripes = set()
+    for v in range(nvreg):
+        g0, g1 = int(vstart[v]), int(vend[v])
+        if g0 >= g1:
+            continue
+        tab = tables[v]
+        wt = win_tiles[v]
+        nw = 0
+        ok = True
+        for g in range(g0, g1):
+            for b in range(8):
+                blk = g * 8 + b
+                if not real[blk]:
+                    continue
+                si = int(fixed_sub[blk])
+                tb = int(tile[blk])
+                lob = int(lo[blk])
+                hsb = int(hs[blk])
+                placed = False
+                for j in range(nw):
+                    if wt[j] != tb:
+                        continue
+                    cell = tab[j, si, lob]
+                    if cell == -1 or cell == hsb:
+                        tab[j, si, lob] = hsb
+                        win_assign[blk] = j
+                        placed = True
+                        break
+                if not placed:
+                    if nw >= MAX_NWIN:
+                        ok = False
+                        break
+                    wt[nw] = tb
+                    tab[nw, si, lob] = hsb
+                    win_assign[blk] = nw
+                    nw += 1
+            if not ok:
+                break
+        if not ok:
+            for g in range(g0, g1):
+                if stripe_of_grp is not None:
+                    failed_stripes.add(int(stripe_of_grp[g]))
+            nwin_v[v] = max(nw, 1)
+            continue
+        nwin_v[v] = max(nw, 1)
+    if failed_stripes:
+        return failed_stripes
+    nwin = max(1, int(nwin_v.max(initial=1)))
+    first = np.where(win_tiles[:, 0] >= 0, win_tiles[:, 0], 0)
+    for j in range(MAX_NWIN):
+        win_tiles[:, j] = np.where(win_tiles[:, j] >= 0, win_tiles[:, j],
+                                   first)
+    return (np.asarray(fixed_sub, dtype=np.int64), win_assign,
+            win_tiles[:, :nwin], nwin, tables[:, :nwin])
 
 
 def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
                   stripe_of_grp=None):
     """Assign block slots to sublanes so A-table cells are consistent.
 
-    Returns ``(sub_assign, win_assign, win_tiles, nwin, tables)``, or a
-    set of stripes to split (reflow) on failure.  Each vreg keeps its
-    own window list (lazily grown, up to MAX_NWIN); a window is an
-    aligned 128-lane tile of the x slot buffer and owns an A-table
-    ``tab[win, s, lo]`` = x-sublane its gather serves at that cell.
-    A group's 8 slots need 8 distinct sublanes (the in-group sum is
-    order-free, reference ``src/multiply_1DVBC.jl:99-105``).  When a
+    Returns ``(sub_assign, win_assign, win_tiles [T*nv, nwin], nwin,
+    tables)``, or a set of stripes to split (reflow) on failure.  Each
+    vreg keeps its own window list (lazily grown, up to MAX_NWIN); a
+    window is an aligned 128-lane tile of the x slot buffer and owns an
+    A-table ``tab[win, s, lo]`` = x-sublane its gather serves at that
+    cell.  A group's 8 slots need 8 distinct sublanes (the in-group sum
+    is order-free, reference ``src/multiply_1DVBC.jl:99-105``).  When a
     group cannot be placed, the whole vreg is retried with the
     contended tile pre-duplicated (duplicate windows share a base but
-    double the table capacity); only if retries exhaust MAX_NWIN do we
-    fall back to splitting the stripe.
+    double the table capacity); then with deterministically rotated
+    group orders; only when retries exhaust do we fall back to
+    splitting the stripe.  The C++ fast path (``native.match_tables``)
+    implements the identical deterministic algorithm.
     """
+    from ..native import match_tables_native
+
+    res = match_tables_native(T, nv, vreg_of_blk, hs, tile, lo, real,
+                              stripe_of_grp)
+    if res is not None:
+        return res
     nblk = hs.size
     ngrp = nblk // 8
     nvreg = T * nv
@@ -242,8 +333,10 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
             vreg_ok = True
             hard = None
             order = list(range(g0, g1))
-            if shuffles > 0:  # last-resort randomized restarts
-                np.random.default_rng(v * 31 + _retry).shuffle(order)
+            if shuffles > 0:  # deterministic rotated restarts
+                r = (shuffles * 37) % max(1, len(order))
+                order = order[r:] + order[:r]
+                order.reverse()
             for g in order:
                 reals = np.flatnonzero(real_g[g])
                 if reals.size == 0:
@@ -343,10 +436,17 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
     return sub_assign, win_assign, win_tiles[:, :nwin], nwin, tables[:, :nwin]
 
 
-def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
-    """Build meta/xtile/val for one x-layout (natural or slot targets)."""
+def _pack_mode(B: VBC1D, stripes, plan, w, target_sub, target_lane, X,
+               ng=NG, fixed_sub=None):
+    """Build meta/win_tiles/val for one x-layout over one width class.
+
+    ``fixed_sub`` (from a prior mode's pack) pins the block->sublane
+    assignment so both gather metas address the same value layout.
+    Returns a dict, a set of (global) stripe ids to reflow, or None if
+    the class cannot ever route (too many windows per vreg even after
+    full reflow)."""
     nb, T = plan["nb"], plan["T"]
-    grp_stripe = plan["grp_stripe"]
+    grp_stripe = plan["grp_stripe"]  # class-local stripe index
     grp_in_stripe = plan["grp_in_stripe"]
     grp_col = plan["grp_col"]
     ngrp_cols = grp_col.size
@@ -364,7 +464,7 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
     blk_stripe = grp_stripe[blk_grp]
     real = blk_slot < grp_cnt[blk_grp]
 
-    pos0 = B.pos[:-1].astype(np.int64)
+    pos0 = B.pos[stripes].astype(np.int64)
     gblk = pos0[blk_stripe] + np.minimum(blk_in_stripe, nb[blk_stripe] - 1)
     idx_safe = B.idx if B.idx.size else np.zeros(1, B.idx.dtype)
     rows = np.where(real, idx_safe[np.clip(gblk, 0, idx_safe.size - 1)], 0)
@@ -378,29 +478,36 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
     blk_vreg = (grp_col[blk_grp] // 128).astype(np.int64)
     tile = np.where(real, L >> 7, -1)
     lo = np.where(real, L & 127, 0)
-    # quick infeasibility check: distinct tiles per vreg > MAX_NWIN
+    # infeasibility / reflow pre-check: vregs needing more distinct
+    # tiles than MAX_NWIN either reflow (stripes split into more
+    # groups) or, if already minimal, fail the class
     pair = blk_vreg * (int(tile.max(initial=0)) + 2) + tile
     uniq_v = np.unique(pair[real]) // (int(tile.max(initial=0)) + 2)
-    if np.bincount(uniq_v, minlength=T * nv).max(initial=0) > MAX_NWIN:
-        return None
+    over = np.flatnonzero(np.bincount(uniq_v, minlength=T * nv) > MAX_NWIN)
+    if over.size:
+        gsel = np.isin(blk_vreg[::8] * 1, over)  # group's vreg over limit
+        cand = np.unique(grp_stripe[gsel])
+        splittable = cand[plan["ngr"][cand] < nb[cand]]
+        if splittable.size == 0:
+            return None
+        return set(int(stripes[s]) for s in splittable)
     tile = np.where(real, tile, 0)
 
     # ---- sublane assignment / A-tables --------------------------------
-    res = _match_tables(T, nv, blk_vreg, hs, tile, lo, real,
-                        stripe_of_grp=grp_stripe)
+    if fixed_sub is not None:
+        res = _match_fixed(T, nv, blk_vreg, hs, tile, lo, real, fixed_sub,
+                           stripe_of_grp=grp_stripe)
+    else:
+        res = _match_tables(T, nv, blk_vreg, hs, tile, lo, real,
+                            stripe_of_grp=grp_stripe)
     if isinstance(res, set):
-        return res  # stripes to split (reflow)
+        return set(int(stripes[s]) for s in res)  # stripes to reflow
     sub_assign, win_assign, win_tiles, nwin, tables = res
-
-    # ---- window base lanes ---------------------------------------------
-    xtile = (win_tiles * 128).astype(np.int32)  # [T*nv, nwin]
-    np.clip(xtile, 0, max(X - 128, 0), out=xtile)
-    d_final = win_assign
 
     # ---- fused meta stream ----------------------------------------------
     meta = np.zeros((8, T * ng), dtype=np.int32)
     col_of_blk = grp_col[blk_grp]
-    meta[sub_assign, col_of_blk] = (lo | (d_final << 7)).astype(np.int32)
+    meta[sub_assign, col_of_blk] = (lo | (win_assign << 7)).astype(np.int32)
     # table cells: element (s, vreg*128 + p) bits 10+3d
     tab_sl = np.maximum(tables, 0).astype(np.int32)  # [T*nv, nwin, 8, 128]
     shifts = (10 + 3 * np.arange(nwin, dtype=np.int32))[:, None, None]
@@ -408,7 +515,7 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
     meta |= tab_bits.transpose(1, 0, 2).reshape(8, T * nv * 128)
 
     # ---- values (sublane-permuted to match the assignment) -------------
-    ofs0 = B.ofs[:-1].astype(np.int64)
+    ofs0 = B.ofs[stripes].astype(np.int64)
     vbase = ofs0[blk_stripe] + np.minimum(blk_in_stripe, nb[blk_stripe] - 1) * w
     val_i = np.zeros((8 * w, T * ng), dtype=np.float32)
     val_safe = B.val if B.val.size else np.zeros(1, B.val.dtype)
@@ -420,101 +527,10 @@ def _pack_mode(B: VBC1D, plan, w, target_sub, target_lane, X, ng=NG):
             0.0,
         )
         val_i[wi * 8 + sub_assign, col_of_blk] = v_w
-    return dict(val_i=val_i, meta=meta, xtile=xtile.reshape(-1), nwin=nwin)
-
-
-def pack_stream3(B: VBC1D, ng=NG, ns=NS):
-    """VBC1D -> chained-stream format; None if the format is multi-class,
-    too wide for the slot buffer, or the A-table matching fails."""
-    assert ng % 128 == 0 and ns % 128 == 0 and ns <= ng
-    widths = B.Phi.widths()
-    if widths.size == 0 or not (widths == widths[0]).all():
-        return None
-    w = int(widths[0])
-    if w > 8:
-        return None
-    spl = B.Phi.spl.astype(np.int64)
-    extra = np.zeros(spl.size - 1, dtype=np.int64)
-    packed = None
-    for _attempt in range(4):
-        plan = _chunk_plan(B, ng, ns, extra)
-        T, S, P = plan["T"], plan["S"], plan["P"]
-
-        X = T * ns
-        nat_lanes = 128 * (-(-(-(-B.m // 8)) // 128))  # ceil(m/8) to 128
-        X = max(X, nat_lanes)
-        if X > MAX_X:
-            return None
-
-        natural = bool(
-            B.m == B.n
-            and w == 8
-            and np.array_equal(P, np.arange(S))
-            and np.array_equal(spl, np.arange(S + 1) * 8)
-        )
-
-        # x-targets: natural (r&7, r>>3) vs slot (r-spl[stripe], P[stripe])
-        if natural:
-            t_sub = (np.arange(B.m) & 7).astype(np.int64)
-            t_lane = (np.arange(B.m) >> 3).astype(np.int64)
-        else:
-            stripe_of = np.repeat(np.arange(S), np.diff(spl))
-            t_sub = (np.arange(B.n) - spl[stripe_of]).astype(np.int64)
-            t_lane = P[stripe_of].astype(np.int64)
-            if B.m != B.n:
-                return None  # chain requires a square operator
-        packed = _pack_mode(B, plan, w, t_sub, t_lane, X, ng)
-        if packed is None:
-            return None
-        if isinstance(packed, dict):
-            break
-        # reflow: split the unplaceable stripes into more groups
-        fail = np.asarray(sorted(packed), dtype=np.int64)
-        extra[fail] += np.maximum(1, plan["ngr"][fail])
-        packed = None
-    if packed is None:
-        return None
-
-    # entry/exit index maps (slot mode only; natural = reshape)
-    entry_sub = entry_lane = exit_sub = exit_lane = None
-    if not natural:
-        e_sub = np.zeros((8, X), dtype=np.int32)
-        e_lane = np.zeros((8, X), dtype=np.int32)
-        # entry: xbuf[t_sub[j], t_lane[j]] = x[j]; build inverse gather
-        g_idx = np.full((8, X), -1, dtype=np.int64)
-        g_idx[t_sub, t_lane] = np.arange(B.n)
-        entry_sub = np.clip(g_idx, 0, B.n - 1).astype(np.int32)
-        entry_lane = (g_idx >= 0).astype(np.int32)  # validity mask
-        exit_sub = t_sub.astype(np.int32)
-        exit_lane = t_lane.astype(np.int32)
-
-    ge = None if plan["identity"] else _gseg_ends(plan, T, ng, ns)
-    fmt = StreamFormat3(
-        w=w,
-        num_chunks=int(T),
-        nwin=int(packed["nwin"]),
-        scan_steps=int(plan["scan_steps"]),
-        identity=bool(plan["identity"]),
-        has_straddle=bool(plan["straddle"].any()),
-        m=B.m,
-        n=B.n,
-        X=int(X),
-        natural=natural,
-        ng=int(ng),
-        ns=int(ns),
-        val_i=packed["val_i"],
-        meta=packed["meta"],
-        xtile=packed["xtile"].astype(np.int32),
-        nslots=plan["nslots"].astype(np.int32),
-        straddle=plan["straddle"].astype(np.int32),
-        gseg=None if ge is None else ge[0],
-        ends=None if ge is None else ge[1],
-        entry_sub=entry_sub,
-        entry_lane=entry_lane,
-        exit_sub=exit_sub,
-        exit_lane=exit_lane,
-    )
-    return jax.device_put(fmt)
+    # win_tiles are tile ids; convert to 128-aligned base lanes
+    xbase = np.clip(win_tiles * 128, 0, max(X - 128, 0)).astype(np.int32)
+    return dict(val_i=val_i, meta=meta, win_base=xbase, nwin=nwin,
+                sub=sub_assign)
 
 
 def _gseg_ends(plan, T, ng=NG, ns=NS):
@@ -528,27 +544,213 @@ def _gseg_ends(plan, T, ng=NG, ns=NS):
     lastrun = np.maximum.accumulate(np.where(us, gs, -1), axis=1)
     gseg[0] = np.where(us, gs, np.maximum(lastrun, 0)).reshape(-1)
     end_chunk, end_lane = plan["end_chunk"], plan["end_lane"]
-    first_end = np.searchsorted(end_chunk, np.arange(T), side="left")
-    slot = np.arange(plan["S"]) - first_end[end_chunk]
-    ends[0, end_chunk * ns + slot] = end_lane
+    ends[0, end_chunk * ns + plan["slot"]] = end_lane
     return gseg, ends
+
+
+def pack_stream3(B: VBC1D, ng=NG, ns=NS):
+    """VBC1D -> chained-stream format; None if the matrix is non-square,
+    a class is wider than 8, the slot buffer exceeds VMEM, or the
+    A-table matching fails after reflow."""
+    assert ng % 128 == 0 and ns % 128 == 0 and ns <= ng
+    widths = B.Phi.widths()
+    if widths.size == 0 or B.m != B.n or int(widths.max(initial=0)) > 8:
+        return None
+    spl = B.Phi.spl.astype(np.int64)
+    S_all = spl.size - 1
+    ws = sorted(int(w) for w in np.unique(widths))
+    cls_stripes = [np.flatnonzero(widths == w) for w in ws]
+    nb_all = (B.pos[1:] - B.pos[:-1]).astype(np.int64)
+
+    extra = np.zeros(S_all, dtype=np.int64)
+    result = None
+    for _attempt in range(4):
+        plans = []
+        offs = [0]
+        for st in cls_stripes:
+            plan = _chunk_plan(nb_all[st], ng, ns, extra[st])
+            plans.append(plan)
+            offs.append(offs[-1] + plan["T"])
+        T = offs[-1]
+
+        X = T * ns
+        nat_lanes = 128 * (-(-B.m // 1024))  # 8*X >= m, 128-aligned
+        X = max(X, nat_lanes)
+        if X > MAX_X:
+            return None
+
+        # stripe -> global slot lane
+        P = np.zeros(S_all, dtype=np.int64)
+        for c, st in enumerate(cls_stripes):
+            pc = plans[c]
+            P[st] = (offs[c] + pc["end_chunk"]) * ns + pc["slot"]
+
+        natural = bool(
+            len(ws) == 1
+            and ws[0] == 8
+            and np.array_equal(P, np.arange(S_all))
+            and np.array_equal(spl, np.arange(S_all + 1) * 8)
+        )
+
+        # x-layout targets (indexed by row id 0..m-1 == column id).
+        # Natural layout is tile-interleaved: x[r] at
+        # ((r>>7)&7, (r>>10)*128 + (r&127)) — 1024 consecutive elements
+        # fill exactly one aligned (8, 128) window (gather locality), and
+        # the entry relayout is tile-granular (lane dim preserved), which
+        # XLA performs as cheap (8,128)-vreg moves, not an element
+        # transpose.
+        r = np.arange(B.m)
+        nat_sub = ((r >> 7) & 7).astype(np.int64)
+        nat_lane = ((r >> 10) * 128 + (r & 127)).astype(np.int64)
+        stripe_of = np.repeat(np.arange(S_all), np.diff(spl))
+        slot_sub = (np.arange(B.n) - spl[stripe_of]).astype(np.int64)
+        slot_lane = P[stripe_of].astype(np.int64)
+
+        fail = set()
+        packed = []  # per class: (nat dict, slot dict)
+        for c, st in enumerate(cls_stripes):
+            # slot mode first (the steady-state layout the value stream
+            # is ordered for); nat mode then reuses its sublane choice
+            psl = _pack_mode(B, st, plans[c], ws[c], slot_sub, slot_lane,
+                             X, ng)
+            if psl is None:
+                return None
+            if isinstance(psl, set):
+                fail |= psl
+                packed.append(None)
+                continue
+            pn = _pack_mode(B, st, plans[c], ws[c], nat_sub, nat_lane, X,
+                            ng, fixed_sub=psl["sub"])
+            if pn is None:
+                return None
+            if isinstance(pn, set):
+                fail |= pn
+                packed.append(None)
+                continue
+            packed.append((pn, psl))
+        if not fail:
+            result = (plans, offs, T, X, P, natural, packed,
+                      slot_sub, slot_lane, stripe_of)
+            break
+        fidx = np.asarray(sorted(fail), dtype=np.int64)
+        extra[fidx] += np.maximum(1, np.maximum(1, -(-nb_all[fidx] // 8)))
+    if result is None:
+        return None
+    (plans, offs, T, X, P, natural, packed, slot_sub, slot_lane,
+     stripe_of) = result
+
+    nv = ng // 128
+    nwins = tuple(max(packed[c][0]["nwin"], packed[c][1]["nwin"])
+                  for c in range(len(ws)))
+    nwin = max(nwins)
+
+    meta_nat = np.zeros((8, T * ng), dtype=np.int32)
+    meta_slot = np.zeros((8, T * ng), dtype=np.int32)
+    xt_nat = np.zeros((T * nv, nwin), dtype=np.int32)
+    xt_slot = np.zeros((T * nv, nwin), dtype=np.int32)
+    nslots = np.zeros(T, dtype=np.int32)
+    straddle = np.zeros(T, dtype=np.int32)
+    has_scan = any(not p["identity"] for p in plans)
+    gseg = np.zeros((1, T * ng), dtype=np.int32) if has_scan else None
+    ends = np.zeros((1, T * ns), dtype=np.int32) if has_scan else None
+    vals = []
+    for c, w in enumerate(ws):
+        pn, psl = packed[c]
+        t0, t1 = offs[c], offs[c + 1]
+        Tc = t1 - t0
+        meta_nat[:, t0 * ng:t1 * ng] = pn["meta"]
+        meta_slot[:, t0 * ng:t1 * ng] = psl["meta"]
+
+        def fill_xt(dst, src):
+            wb = src["win_base"]  # [Tc*nv, nwin_c]
+            dst[t0 * nv:t1 * nv, :wb.shape[1]] = wb
+            if wb.shape[1] < nwin:  # pad with window 0 (in-bounds)
+                dst[t0 * nv:t1 * nv, wb.shape[1]:] = wb[:, :1]
+
+        fill_xt(xt_nat, pn)
+        fill_xt(xt_slot, psl)
+        nslots[t0:t1] = plans[c]["nslots"]
+        straddle[t0:t1] = plans[c]["straddle"]
+        if has_scan:
+            ge = _gseg_ends(plans[c], Tc, ng, ns)
+            gseg[:, t0 * ng:t1 * ng] = ge[0]
+            ends[:, t0 * ns:t1 * ns] = ge[1]
+        vals.append(pn["val_i"])
+
+    # exit: non-natural formats store (8, T*ns) sublane-major, so
+    # y[j] = out.flat[wi*(T*ns) + P(stripe)] — consecutive j hit
+    # consecutive lanes (stride <= 1), which the Clos permute routes
+    # with one window per output vreg.  (A slot-major (T*ns, 8) store
+    # would dilate the map 8x and defeat the windowed permute.)
+    exit_plan = exit_idx = None
+    exit_wi = exit_lane = None
+    if not natural:
+        eidx = (slot_sub * (T * ns) + slot_lane).astype(np.int64)
+        exit_idx = eidx.astype(np.int32)
+        exit_plan = wg.pack_permute(eidx, T * ns * 8)
+        exit_wi = slot_sub.astype(np.int32)
+        exit_lane = slot_lane.astype(np.int32)
+
+    fmt = StreamFormat3(
+        ws=tuple(ws),
+        offs=tuple(offs),
+        scan_steps=tuple(p["scan_steps"] for p in plans),
+        identities=tuple(bool(p["identity"]) for p in plans),
+        nwins=nwins,
+        nwin=int(nwin),
+        num_chunks=int(T),
+        has_straddle=bool(straddle.any()),
+        has_scan=bool(has_scan),
+        m=B.m,
+        n=B.n,
+        X=int(X),
+        natural=natural,
+        ng=int(ng),
+        ns=int(ns),
+        vals=tuple(vals),
+        meta_nat=meta_nat,
+        meta_slot=meta_slot,
+        xtile_nat=xt_nat.reshape(-1),
+        xtile_slot=xt_slot.reshape(-1),
+        nslots=nslots,
+        straddle=straddle,
+        gseg=gseg,
+        ends=ends,
+        exit_plan=exit_plan,
+        exit_idx=exit_idx,
+        exit_wi=exit_wi,
+        exit_lane=exit_lane,
+    )
+    return jax.device_put(fmt)
 
 
 # --------------------------------------------------------------------------
 # kernel
 
 
-def _chain_kernel(w, nwin, scan_steps, identity, has_straddle, n_iters, T,
-                  ng=NG, ns=NS):
-    nv = ng // 128
+def _chain_kernel(fmt: StreamFormat3, n_iters: int):
+    ng, ns, nv = fmt.ng, fmt.ns, fmt.ng // 128
+    NW = fmt.nwin
+    T = fmt.num_chunks
+    C = len(fmt.ws)
+    dual = n_iters > 1
+    has_scan = fmt.has_scan
+    has_straddle = fmt.has_straddle
 
-    def kernel(xtile_ref, alpha_ref, nslots_ref, straddle_ref, val_ref,
-               meta_ref, *rest):
-        if identity:
-            xin_ref, out_ref, xy, carry = rest
-            gseg_ref = ends_ref = None
-        else:
-            gseg_ref, ends_ref, xin_ref, out_ref, xy, carry = rest
+    def kernel(xtn_ref, xts_ref, alpha_ref, nslots_ref, straddle_ref,
+               *rest):
+        k = 0
+        meta_nat_ref = rest[k]; k += 1
+        meta_slot_ref = None
+        if dual:
+            meta_slot_ref = rest[k]; k += 1
+        gseg_ref = ends_ref = None
+        if has_scan:
+            gseg_ref, ends_ref = rest[k], rest[k + 1]; k += 2
+        val_refs = rest[k:k + C]; k += C
+        xin_ref = rest[k]; k += 1
+        out_ref, xy, carry = rest[k], rest[k + 1], rest[k + 2]
+
         i = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -558,141 +760,197 @@ def _chain_kernel(w, nwin, scan_steps, identity, has_straddle, n_iters, T,
             carry[...] = jnp.zeros_like(carry)
 
         p = jax.lax.rem(i, jnp.asarray(2, i.dtype))
-        meta = meta_ref[...]
+        if dual:
+            meta = jnp.where(i == 0, meta_nat_ref[...], meta_slot_ref[...])
+        else:
+            meta = meta_nat_ref[...]
         lo = jax.lax.bitwise_and(meta, jnp.int32(127))
         dwin = jax.lax.bitwise_and(
             jax.lax.shift_right_logical(meta, jnp.int32(7)), jnp.int32(7)
         )
-
-        # ---- exact 2-take windowed gather ------------------------------
-        xg_slices = []
-        for v_ in range(nv):
-            lo_s = lo[:, v_ * 128:(v_ + 1) * 128]
-            d_s = dwin[:, v_ * 128:(v_ + 1) * 128]
-            m_s = meta[:, v_ * 128:(v_ + 1) * 128]
-            acc = jnp.zeros((8, 128), jnp.float32)
-            for dd in range(nwin):
-                b = xtile_ref[(t * nv + v_) * nwin + dd]
-                win = xy[p, :, pl.ds(pl.multiple_of(b, 128), 128)]
-                Ad = jax.lax.bitwise_and(
-                    jax.lax.shift_right_logical(
-                        m_s, jnp.int32(10 + 3 * dd)),
-                    jnp.int32(7),
-                )
-                t0 = jnp.take_along_axis(win, Ad, axis=0)
-                cand = jnp.take_along_axis(t0, lo_s, axis=1)
-                acc = jnp.where(d_s == dd, cand, acc) if nwin > 1 else cand
-            xg_slices.append(acc)
-        xg = jnp.concatenate(xg_slices, axis=1)  # [8, ng]
-
-        # ---- product + within-group reduction --------------------------
-        xg_t = jnp.concatenate([xg] * w, axis=0)
-        prod = val_ref[...] * xg_t
-        red = prod.reshape(w, 8, ng).sum(axis=1)  # [w, ng]
-
-        # ---- segmented scan + run-end extraction (non-identity) --------
-        if identity or scan_steps == 0:
-            tot = red
-        else:
-            seg = gseg_ref[...]
-            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, ng), 1)
-            sc = red
-            k = 1
-            for _ in range(scan_steps):
-                same = (seg == pltpu.roll(seg, k, 1)) & (lane1 >= k)
-                sc = sc + jnp.where(same, pltpu.roll(sc, k, 1), 0.0)
-                k *= 2
-            ends_all = ends_ref[...]
-            wq = 8 if w == 1 else w
-            tot_parts = []
-            for j in range(ns // 128):
-                ej = ends_all[:, j * 128:(j + 1) * 128]
-                ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
-                elo = jax.lax.bitwise_and(ej, jnp.int32(127))
-                elo_b = jnp.broadcast_to(elo, (wq, 128))
-                acc = jnp.zeros((wq, 128), jnp.float32)
-                for q in range(nv):
-                    scq = sc[:, q * 128:(q + 1) * 128]
-                    if wq != w:
-                        scq = jnp.broadcast_to(scq, (wq, 128))
-                    cand = jnp.take_along_axis(scq, elo_b, axis=1)
-                    acc = jnp.where(
-                        jnp.broadcast_to(ehi == q, (wq, 128)), cand, acc)
-                tot_parts.append(acc[:w])
-            tot = jnp.concatenate(tot_parts, axis=1)  # [w, ns]
-            laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
-            tot = jnp.where(laneN < nslots_ref[t], tot, 0.0)
-
-        # ---- carry chain (stripes straddling a chunk boundary) ---------
-        if has_straddle:
-            laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
-            prev_str = jax.lax.select(
-                t > 0,
-                straddle_ref[jnp.maximum(t - 1, 0)],
-                jnp.zeros((), jnp.int32),
-            )
-            nsl = nslots_ref[t]
-            carry_vec = carry[:w, 0:1]
-            tot = tot + jnp.where(
-                (laneN == 0) & (prev_str == 1) & (nsl > 0), carry_vec, 0.0)
-            tail = (red if identity else sc)[:, ng - 1:ng]
-            carry_new = tail + jnp.where(
-                (prev_str == 1) & (nsl == 0), carry_vec, 0.0)
-            carry[:w, 0:1] = jnp.where(straddle_ref[t] == 1, carry_new, 0.0)
-
-        # Mosaic bitcast needs a vector operand; broadcast the scalar
         alpha = jax.lax.bitcast_convert_type(
             jnp.broadcast_to(alpha_ref[0], (1, 1)), jnp.float32)
-        tot = tot * alpha
 
-        xy[1 - p, 0:w, pl.ds(t * ns, ns)] = tot
+        def class_body(c):
+            w = fmt.ws[c]
+            nwin_c = fmt.nwins[c]
+            scan_steps = fmt.scan_steps[c]
+            identity = fmt.identities[c]
+            val_ref = val_refs[c]
+            off = fmt.offs[c]
 
-        @pl.when(i == n_iters - 1)
-        def _():
-            out_ref[...] = tot
+            # ---- exact 2-take windowed gather --------------------------
+            xg_slices = []
+            for v_ in range(nv):
+                lo_s = lo[:, v_ * 128:(v_ + 1) * 128]
+                d_s = dwin[:, v_ * 128:(v_ + 1) * 128]
+                m_s = meta[:, v_ * 128:(v_ + 1) * 128]
+                acc = jnp.zeros((8, 128), jnp.float32)
+                for dd in range(nwin_c):
+                    bn = xtn_ref[(t * nv + v_) * NW + dd]
+                    if dual:
+                        bs = xts_ref[(t * nv + v_) * NW + dd]
+                        b = jnp.where(i == 0, bn, bs)
+                    else:
+                        b = bn
+                    win = xy[p, :, pl.ds(pl.multiple_of(b, 128), 128)]
+                    Ad = jax.lax.bitwise_and(
+                        jax.lax.shift_right_logical(
+                            m_s, jnp.int32(10 + 3 * dd)),
+                        jnp.int32(7),
+                    )
+                    t0 = jnp.take_along_axis(win, Ad, axis=0)
+                    cand = jnp.take_along_axis(t0, lo_s, axis=1)
+                    acc = (jnp.where(d_s == dd, cand, acc)
+                           if nwin_c > 1 else cand)
+                xg_slices.append(acc)
+            xg = jnp.concatenate(xg_slices, axis=1)  # [8, ng]
+
+            # ---- product + within-group reduction ----------------------
+            xg_t = jnp.concatenate([xg] * w, axis=0)
+            prod = val_ref[...] * xg_t
+            red = prod.reshape(w, 8, ng).sum(axis=1)  # [w, ng]
+
+            # ---- segmented scan + run-end extraction -------------------
+            if identity or scan_steps == 0:
+                tot = red[:, :ns]
+                sc = red
+            else:
+                seg = gseg_ref[...]
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, ng), 1)
+                sc = red
+                kk = 1
+                for _ in range(scan_steps):
+                    same = (seg == pltpu.roll(seg, kk, 1)) & (lane1 >= kk)
+                    sc = sc + jnp.where(same, pltpu.roll(sc, kk, 1), 0.0)
+                    kk *= 2
+                ends_all = ends_ref[...]
+                wq = 8 if w == 1 else w
+                tot_parts = []
+                for j in range(ns // 128):
+                    ej = ends_all[:, j * 128:(j + 1) * 128]
+                    ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
+                    elo = jax.lax.bitwise_and(ej, jnp.int32(127))
+                    elo_b = jnp.broadcast_to(elo, (wq, 128))
+                    acc = jnp.zeros((wq, 128), jnp.float32)
+                    for q in range(nv):
+                        scq = sc[:, q * 128:(q + 1) * 128]
+                        if wq != w:
+                            scq = jnp.broadcast_to(scq, (wq, 128))
+                        cand = jnp.take_along_axis(scq, elo_b, axis=1)
+                        acc = jnp.where(
+                            jnp.broadcast_to(ehi == q, (wq, 128)), cand, acc)
+                    tot_parts.append(acc[:w])
+                tot = jnp.concatenate(tot_parts, axis=1)  # [w, ns]
+                laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
+                tot = jnp.where(laneN < nslots_ref[t], tot, 0.0)
+
+            # ---- carry chain (stripes straddling a chunk boundary) -----
+            if has_straddle:
+                laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
+                prev_str = jax.lax.select(
+                    t > off,  # straddles never cross class segments
+                    straddle_ref[jnp.maximum(t - 1, 0)],
+                    jnp.zeros((), jnp.int32),
+                )
+                nsl = nslots_ref[t]
+                carry_vec = carry[:w, 0:1]
+                tot = tot + jnp.where(
+                    (laneN == 0) & (prev_str == 1) & (nsl > 0),
+                    carry_vec, 0.0)
+                tail = sc[:, ng - 1:ng]
+                carry_new = tail + jnp.where(
+                    (prev_str == 1) & (nsl == 0), carry_vec, 0.0)
+                carry[:w, 0:1] = jnp.where(
+                    straddle_ref[t] == 1, carry_new, 0.0)
+
+            tot = tot * alpha
+            xy[1 - p, 0:w, pl.ds(t * ns, ns)] = tot
+
+            @pl.when(i == n_iters - 1)
+            def _():
+                if w < 8:
+                    tot8 = jnp.concatenate(
+                        [tot, jnp.zeros((8 - w, ns), jnp.float32)], axis=0)
+                else:
+                    tot8 = tot
+                # natural formats: slot-major (ns, 8) store -> exit is a
+                # reshape; others: sublane-major (8, ns) -> Clos permute
+                out_ref[...] = tot8.T if fmt.natural else tot8
+
+        for c in range(C):
+            if C == 1:
+                class_body(c)
+            else:
+                pl.when((t >= fmt.offs[c]) & (t < fmt.offs[c + 1]))(
+                    lambda c=c: class_body(c))
 
     return kernel
 
 
 def _chain_call(fmt: StreamFormat3, n_iters: int):
-    w, T, nwin, X = fmt.w, fmt.num_chunks, fmt.nwin, fmt.X
+    T, X = fmt.num_chunks, fmt.X
     ng, ns = fmt.ng, fmt.ns
-    identity = fmt.identity
+    dual = n_iters > 1
     in_specs = [
-        pl.BlockSpec((8 * w, ng), lambda i, t, *_: (0, t),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, ng), lambda i, t, *_: (0, t),
+        # meta_nat: streams on iteration 0, frozen afterwards
+        pl.BlockSpec((8, ng),
+                     lambda i, t, *_: (0, jnp.where(i == 0, t, T - 1)),
                      memory_space=pltpu.VMEM),
     ]
-    if not identity:
+    if dual:
+        in_specs.append(
+            pl.BlockSpec((8, ng),
+                         lambda i, t, *_: (0, jnp.where(i == 0, 0, t)),
+                         memory_space=pltpu.VMEM))
+    if fmt.has_scan:
         in_specs += [
             pl.BlockSpec((1, ng), lambda i, t, *_: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ns), lambda i, t, *_: (0, t),
                          memory_space=pltpu.VMEM),
         ]
+    for c, w in enumerate(fmt.ws):
+        off, Tc = fmt.offs[c], fmt.offs[c + 1] - fmt.offs[c]
+        in_specs.append(
+            pl.BlockSpec(
+                (8 * w, ng),
+                (lambda off=off, Tc=Tc: (
+                    lambda i, t, *_: (0, jnp.clip(t - off, 0, Tc - 1))
+                ))(),
+                memory_space=pltpu.VMEM,
+            ))
     in_specs.append(
         pl.BlockSpec((8, X), lambda i, t, *_: (0, 0),
                      memory_space=pltpu.VMEM))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_iters, T),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (w, ns),
+    if fmt.natural:
+        out_spec = pl.BlockSpec(
+            (ns, 8),
+            lambda i, t, *_: (jnp.where(i == n_iters - 1, t, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((T * ns, 8), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (8, ns),
             lambda i, t, *_: (0, jnp.where(i == n_iters - 1, t, 0)),
             memory_space=pltpu.VMEM,
-        ),
+        )
+        out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_iters, T),
+        in_specs=in_specs,
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, 8, X), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
         ],
     )
     return pl.pallas_call(
-        _chain_kernel(w, nwin, fmt.scan_steps, identity, fmt.has_straddle,
-                      n_iters, T, ng, ns),
+        _chain_kernel(fmt, n_iters),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((w, T * ns), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -700,20 +958,22 @@ def _chain_call(fmt: StreamFormat3, n_iters: int):
 
 
 def entry3(fmt: StreamFormat3, x: jax.Array) -> jax.Array:
-    """Natural x [m] -> slot buffer (8, X)."""
+    """Natural x [m] -> (8, X) buffer: x[r] at
+    ((r>>7)&7, (r>>10)*128 + (r&127)) — a tile-granular relayout."""
     x = x.astype(jnp.float32)
-    if fmt.natural:
-        xp = jnp.zeros(8 * fmt.X, jnp.float32).at[: fmt.m].set(x)
-        return xp.reshape(fmt.X, 8).T
-    g = x[fmt.entry_sub] * fmt.entry_lane.astype(jnp.float32)
-    return g
+    R = fmt.X // 128
+    xp = jnp.zeros(R * 1024, jnp.float32).at[: fmt.m].set(x)
+    return xp.reshape(R, 8, 128).transpose(1, 0, 2).reshape(8, fmt.X)
 
 
 def exit3(fmt: StreamFormat3, out: jax.Array) -> jax.Array:
-    """Kernel output (w, T*NS) -> natural y [n]."""
+    """Kernel output (T*NS, 8) slot-major -> natural y [n]."""
+    flat = out.reshape(-1)
     if fmt.natural:
-        return out.T.reshape(-1)[: fmt.n]
-    return out[fmt.exit_sub, fmt.exit_lane]
+        return flat[: fmt.n]
+    if fmt.exit_plan is not None:
+        return wg.apply_permute(fmt.exit_plan, flat)
+    return flat[fmt.exit_idx]
 
 
 def tr_spmv_chain3(fmt: StreamFormat3, x: jax.Array, n_iters: int = 1,
@@ -722,15 +982,23 @@ def tr_spmv_chain3(fmt: StreamFormat3, x: jax.Array, n_iters: int = 1,
 
     The whole chain is ONE Pallas grid; x/y slot vectors stay in VMEM
     between iterations (reference analog: repeated ``mul!(y, B', x)``,
-    ``src/multiply_1DVBC.jl:136-180``, with the beta prescale fused as
-    the kernel epilogue like ``:143-147``).
+    ``src/multiply_1DVBC.jl:136-180``, with the alpha scale fused as
+    the kernel epilogue like the beta prescale at ``:143-147``).  The
+    first iteration gathers straight from the reshaped natural x (no
+    entry permutation); the exit is a reshape (natural formats) or one
+    Clos-routed Pallas permute.
     """
+    assert n_iters >= 1
     a = jnp.asarray(1.0 if alpha is None else alpha, jnp.float32)
     alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
     xin = entry3(fmt, x)
-    args = [fmt.val_i, fmt.meta]
-    if not fmt.identity:
+    args = [fmt.meta_nat]
+    if n_iters > 1:
+        args.append(fmt.meta_slot)
+    if fmt.has_scan:
         args += [fmt.gseg, fmt.ends]
+    args += list(fmt.vals)
     out = _chain_call(fmt, n_iters)(
-        fmt.xtile, alpha_bits, fmt.nslots, fmt.straddle, *args, xin)
+        fmt.xtile_nat, fmt.xtile_slot, alpha_bits, fmt.nslots,
+        fmt.straddle, *args, xin)
     return exit3(fmt, out)
