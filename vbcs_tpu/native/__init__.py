@@ -207,8 +207,8 @@ def stream_chunk_plan_native(ngr: np.ndarray, NG: int, NS: int):
     return pieces, straddle[:T].astype(np.int32), nslots[:T].astype(np.int32)
 
 
-def match_tables_native(T, nv, vreg_of_blk, hs, tile, lo, real,
-                        stripe_of_grp=None):
-    """C++ A-table matcher for the v3 stream packer; None if the lib
-    is unavailable (callers fall back to the Python oracle)."""
-    return None  # native implementation lands with clos_route
+def match_joint_native(T, nv, vreg_of_blk, modes, real,
+                       stripe_of_grp=None):
+    """C++ joint A-table matcher for the v3 stream packer; None if the
+    lib is unavailable (callers fall back to the Python oracle)."""
+    return None  # C++ implementation below (wired in a later commit)

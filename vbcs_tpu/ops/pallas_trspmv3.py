@@ -77,10 +77,11 @@ MAX_X = 131072  # xy slot-buffer lanes cap (2*8*X*4 = 8 MB of VMEM)
     jax.tree_util.register_dataclass,
     data_fields=["vals", "meta_nat", "meta_slot", "xtile_nat", "xtile_slot",
                  "nslots", "straddle", "gseg", "ends", "exit_plan",
-                 "exit_idx", "exit_wi", "exit_lane"],
+                 "exit_idx", "exit_wi", "exit_lane", "entry_plan",
+                 "entry_gidx", "entry_mask"],
     meta_fields=["ws", "offs", "scan_steps", "identities", "nwins",
                  "nwin", "num_chunks", "has_straddle", "has_scan",
-                 "m", "n", "X", "natural", "ng", "ns"],
+                 "m", "n", "X", "natural", "ng", "ns", "entry_mode"],
 )
 @dataclasses.dataclass(frozen=True)
 class StreamFormat3:
@@ -99,6 +100,12 @@ class StreamFormat3:
     natural: bool  # uniform width-8 natural stripes: exit = reshape
     ng: int
     ns: int
+    # entry_mode: how natural x becomes the (8, X) iteration-0 buffer:
+    #   "tile"      tile-interleaved free relayout; meta_nat gathers it
+    #   "transpose" xin = slot buffer via (X, 8) reshape-transpose
+    #   "clos"      xin = slot buffer via one Clos-routed Pallas permute
+    #   "gather"    xin = slot buffer via XLA gather (last resort)
+    entry_mode: str
     vals: tuple  # per class [8*w_c, T_c*ng] f32
     meta_nat: jax.Array  # [8, T*ng] i32 (iteration-0 gather)
     meta_slot: jax.Array  # [8, T*ng] i32 (steady-state gather)
@@ -112,6 +119,9 @@ class StreamFormat3:
     exit_idx: object  # [n] i32 flat slot-major index, or None (natural)
     exit_wi: object  # [n] i32 output column within stripe (SpMM exit)
     exit_lane: object  # [n] i32 global slot lane (SpMM exit)
+    entry_plan: object  # windowed_gather 2-D Clos plan or None
+    entry_gidx: object  # [8, X] i32 (entry_mode == "gather") or None
+    entry_mask: object  # [8, X] f32 or None
 
 
 # --------------------------------------------------------------------------
@@ -197,116 +207,47 @@ def _chunk_plan(nb: np.ndarray, ng=NG, ns=NS, extra=None):
     )
 
 
-def _match_fixed(T, nv, vreg_of_blk, hs, tile, lo, real, fixed_sub,
-                 stripe_of_grp=None):
-    """A-table matching with a *prescribed* block->sublane assignment
-    (the slot-mode assignment, which the value stream is laid out for).
-    Only the window choice is free; conflicting cells are resolved by
-    duplicating the contended tile as an extra window.  Returns the
-    same tuple as :func:`_match_tables` or a set of stripes to reflow."""
-    nblk = hs.size
-    ngrp = nblk // 8
-    nvreg = T * nv
-    tables = np.full((nvreg, MAX_NWIN, 8, 128), -1, dtype=np.int16)
-    win_tiles = np.full((nvreg, MAX_NWIN), -1, dtype=np.int64)
-    nwin_v = np.zeros(nvreg, dtype=np.int64)
-    win_assign = np.zeros(nblk, dtype=np.int64)
+def _match_joint(T, nv, vreg_of_blk, modes, real, stripe_of_grp=None):
+    """Assign block slots to sublanes so the A-table cells of EVERY
+    x-layout mode are simultaneously consistent.
 
-    vreg_g = vreg_of_blk.reshape(ngrp, 8)[:, 0]
-    vstart = np.searchsorted(vreg_g, np.arange(nvreg), side="left")
-    vend = np.searchsorted(vreg_g, np.arange(nvreg), side="right")
-    failed_stripes = set()
-    for v in range(nvreg):
-        g0, g1 = int(vstart[v]), int(vend[v])
-        if g0 >= g1:
-            continue
-        tab = tables[v]
-        wt = win_tiles[v]
-        nw = 0
-        ok = True
-        for g in range(g0, g1):
-            for b in range(8):
-                blk = g * 8 + b
-                if not real[blk]:
-                    continue
-                si = int(fixed_sub[blk])
-                tb = int(tile[blk])
-                lob = int(lo[blk])
-                hsb = int(hs[blk])
-                placed = False
-                for j in range(nw):
-                    if wt[j] != tb:
-                        continue
-                    cell = tab[j, si, lob]
-                    if cell == -1 or cell == hsb:
-                        tab[j, si, lob] = hsb
-                        win_assign[blk] = j
-                        placed = True
-                        break
-                if not placed:
-                    if nw >= MAX_NWIN:
-                        ok = False
-                        break
-                    wt[nw] = tb
-                    tab[nw, si, lob] = hsb
-                    win_assign[blk] = nw
-                    nw += 1
-            if not ok:
-                break
-        if not ok:
-            for g in range(g0, g1):
-                if stripe_of_grp is not None:
-                    failed_stripes.add(int(stripe_of_grp[g]))
-            nwin_v[v] = max(nw, 1)
-            continue
-        nwin_v[v] = max(nw, 1)
-    if failed_stripes:
-        return failed_stripes
-    nwin = max(1, int(nwin_v.max(initial=1)))
-    first = np.where(win_tiles[:, 0] >= 0, win_tiles[:, 0], 0)
-    for j in range(MAX_NWIN):
-        win_tiles[:, j] = np.where(win_tiles[:, j] >= 0, win_tiles[:, j],
-                                   first)
-    return (np.asarray(fixed_sub, dtype=np.int64), win_assign,
-            win_tiles[:, :nwin], nwin, tables[:, :nwin])
+    ``modes``: list of ``(hs, tile, lo)`` triples, one per x layout
+    (natural first, then slot; or just slot).  All modes share ONE
+    block->sublane assignment — the value stream is laid out once —
+    while each mode keeps its own per-vreg window list (an aligned
+    128-lane tile of its x buffer) and A-table ``tab[win, s, lo]`` =
+    x-sublane served at that cell.  A group's 8 slots need 8 distinct
+    sublanes (the in-group sum is order-free, reference
+    ``src/multiply_1DVBC.jl:99-105``).  When a group cannot be placed,
+    the vreg is retried with the most-starved mode's contended tile
+    pre-duplicated, then with deterministically rotated group orders;
+    when retries exhaust, the vreg's stripes are returned for reflow.
 
-
-def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
-                  stripe_of_grp=None):
-    """Assign block slots to sublanes so A-table cells are consistent.
-
-    Returns ``(sub_assign, win_assign, win_tiles [T*nv, nwin], nwin,
-    tables)``, or a set of stripes to split (reflow) on failure.  Each
-    vreg keeps its own window list (lazily grown, up to MAX_NWIN); a
-    window is an aligned 128-lane tile of the x slot buffer and owns an
-    A-table ``tab[win, s, lo]`` = x-sublane its gather serves at that
-    cell.  A group's 8 slots need 8 distinct sublanes (the in-group sum
-    is order-free, reference ``src/multiply_1DVBC.jl:99-105``).  When a
-    group cannot be placed, the whole vreg is retried with the
-    contended tile pre-duplicated (duplicate windows share a base but
-    double the table capacity); then with deterministically rotated
-    group orders; only when retries exhaust do we fall back to
-    splitting the stripe.  The C++ fast path (``native.match_tables``)
-    implements the identical deterministic algorithm.
+    Returns ``(sub_assign, [(win_assign, win_tiles [T*nv, nwin], nwin,
+    tables)] per mode)`` or a set of stripes to reflow.  The C++ fast
+    path (``native.match_joint``) implements the same algorithm.
     """
-    from ..native import match_tables_native
+    from ..native import match_joint_native
 
-    res = match_tables_native(T, nv, vreg_of_blk, hs, tile, lo, real,
-                              stripe_of_grp)
+    res = match_joint_native(T, nv, vreg_of_blk, modes, real,
+                             stripe_of_grp)
     if res is not None:
         return res
-    nblk = hs.size
+    M = len(modes)
+    nblk = real.size
     ngrp = nblk // 8
     nvreg = T * nv
-    tables = np.full((nvreg, MAX_NWIN, 8, 128), -1, dtype=np.int16)
-    win_tiles = np.full((nvreg, MAX_NWIN), -1, dtype=np.int64)
-    nwin_v = np.zeros(nvreg, dtype=np.int64)
+    tables = [np.full((nvreg, MAX_NWIN, 8, 128), -1, dtype=np.int16)
+              for _ in range(M)]
+    win_tiles = [np.full((nvreg, MAX_NWIN), -1, dtype=np.int64)
+                 for _ in range(M)]
+    nwin_v = [np.zeros(nvreg, dtype=np.int64) for _ in range(M)]
     sub_assign = np.zeros(nblk, dtype=np.int64)
-    win_assign = np.zeros(nblk, dtype=np.int64)
+    win_assign = [np.zeros(nblk, dtype=np.int64) for _ in range(M)]
 
-    hs_g = hs.reshape(ngrp, 8)
-    t_g = tile.reshape(ngrp, 8)
-    lo_g = lo.reshape(ngrp, 8)
+    hs_g = [m[0].reshape(ngrp, 8) for m in modes]
+    t_g = [m[1].reshape(ngrp, 8) for m in modes]
+    lo_g = [m[2].reshape(ngrp, 8) for m in modes]
     real_g = real.reshape(ngrp, 8)
     vreg_g = vreg_of_blk.reshape(ngrp, 8)[:, 0]
     # group ranges per vreg (groups are laid out vreg-major)
@@ -318,20 +259,21 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
         g0, g1 = int(vstart[v]), int(vend[v])
         if g0 >= g1:
             continue
-        dup_hints = []
+        dup_hints = [[] for _ in range(M)]
         shuffles = 0
         for _retry in range(MAX_NWIN + 4):
-            tab = tables[v]
-            tab[:] = -1
-            wt = win_tiles[v]
-            wt[:] = -1
-            nw = 0
-            for tb in dup_hints:
-                if nw < MAX_NWIN:
-                    wt[nw] = tb
-                    nw += 1
+            tabs = [tables[mo][v] for mo in range(M)]
+            wts = [win_tiles[mo][v] for mo in range(M)]
+            nw = [0] * M
+            for mo in range(M):
+                tabs[mo][:] = -1
+                wts[mo][:] = -1
+                for tb in dup_hints[mo]:
+                    if nw[mo] < MAX_NWIN:
+                        wts[mo][nw[mo]] = tb
+                        nw[mo] += 1
             vreg_ok = True
-            hard = None
+            hard = None  # (mode, tile) to duplicate on retry
             order = list(range(g0, g1))
             if shuffles > 0:  # deterministic rotated restarts
                 r = (shuffles * 37) % max(1, len(order))
@@ -341,29 +283,43 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
                 reals = np.flatnonzero(real_g[g])
                 if reals.size == 0:
                     continue
-                blocks = [(int(hs_g[g, b]), int(t_g[g, b]),
-                           int(lo_g[g, b]), b) for b in reals]
-                for _, tb, _, _ in blocks:
-                    if not (wt[:nw] == tb).any():
-                        if nw >= MAX_NWIN:
-                            vreg_ok = False
-                            break
-                        wt[nw] = tb
-                        nw += 1
+                # ensure a window exists for every block tile, per mode
+                for mo in range(M):
+                    for b in reals:
+                        tb = int(t_g[mo][g, b])
+                        if not (wts[mo][: nw[mo]] == tb).any():
+                            if nw[mo] >= MAX_NWIN:
+                                vreg_ok = False
+                                break
+                            wts[mo][nw[mo]] = tb
+                            nw[mo] += 1
+                    if not vreg_ok:
+                        break
                 if not vreg_ok:
                     break
+                # candidate (si, window-per-mode) options per block
                 cands = []
-                for hsb, tb, lob, b in blocks:
+                for b in reals:
+                    keys = [(int(hs_g[mo][g, b]), int(t_g[mo][g, b]),
+                             int(lo_g[mo][g, b])) for mo in range(M)]
                     opts = []
-                    for j in range(nw):
-                        if wt[j] != tb:
-                            continue
-                        col = tab[j, :, lob]
-                        for si in range(8):
-                            if col[si] == -1 or col[si] == hsb:
-                                opts.append((si, j))
-                    cands.append((len(opts), hsb, tb, lob, b, opts))
-                cands.sort()
+                    starve = [0] * M
+                    for si in range(8):
+                        wsets = []
+                        for mo, (hsb, tb, lob) in enumerate(keys):
+                            js = [j for j in range(nw[mo])
+                                  if wts[mo][j] == tb
+                                  and tabs[mo][j, si, lob] in (-1, hsb)]
+                            starve[mo] += len(js)
+                            wsets.append(js)
+                        if all(wsets):
+                            if M == 1:
+                                opts += [(si, (j0,)) for j0 in wsets[0]]
+                            else:
+                                opts += [(si, (j0, j1)) for j0 in wsets[0]
+                                         for j1 in wsets[1]]
+                    cands.append((len(opts), keys, starve, int(b), opts))
+                cands.sort(key=lambda c: c[0])
                 used = 0
                 chosen = {}
                 budget = [4000]
@@ -375,45 +331,61 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
                     budget[0] -= 1
                     if budget[0] <= 0:
                         return False
-                    _, hsb, tb, lob, b, opts = cands[k]
-                    for si, j in opts:
+                    _, keys, _, b, opts = cands[k]
+                    for si, combo in opts:
                         if used & (1 << si):
                             continue
-                        cell = tab[j, si, lob]
-                        if cell != -1 and cell != hsb:
+                        wrote = []
+                        ok = True
+                        for mo in range(M):
+                            hsb, tb, lob = keys[mo]
+                            j = combo[mo]
+                            cell = tabs[mo][j, si, lob]
+                            if cell != -1 and cell != hsb:
+                                ok = False
+                                break
+                            if cell == -1:
+                                tabs[mo][j, si, lob] = hsb
+                                wrote.append((mo, j, lob, si))
+                        if not ok:
+                            for mo, j, lob, ss in wrote:
+                                tabs[mo][j, ss, lob] = -1
                             continue
-                        wrote = cell == -1
-                        if wrote:
-                            tab[j, si, lob] = hsb
                         used |= 1 << si
-                        chosen[b] = (si, j)
+                        chosen[b] = (si, combo)
                         if dfs(k + 1):
                             return True
                         used &= ~(1 << si)
-                        if wrote:
-                            tab[j, si, lob] = -1
+                        for mo, j, lob, ss in wrote:
+                            tabs[mo][j, ss, lob] = -1
                     return False
 
                 if not dfs(0):
                     vreg_ok = False
-                    hard = cands[0][2]  # tile of the hardest block
+                    # duplicate the most-starved mode's tile for the
+                    # hardest block
+                    _, keys, starve, _, _ = cands[0]
+                    mo_h = int(np.argmin(starve))
+                    hard = (mo_h, keys[mo_h][1])
                     break
                 free = [si for si in range(8) if not (used & (1 << si))]
                 fi = 0
                 for b in range(8):
                     if real_g[g, b]:
-                        si, j = chosen[b]
+                        si, combo = chosen[b]
                         sub_assign[g * 8 + b] = si
-                        win_assign[g * 8 + b] = j
+                        for mo in range(M):
+                            win_assign[mo][g * 8 + b] = combo[mo]
                     else:
                         sub_assign[g * 8 + b] = free[fi]
                         fi += 1
             if vreg_ok:
-                nwin_v[v] = nw
+                for mo in range(M):
+                    nwin_v[mo][v] = max(nw[mo], 1)
                 break
             if (hard is not None and shuffles == 0
-                    and len(dup_hints) < MAX_NWIN - 1):
-                dup_hints.append(hard)
+                    and len(dup_hints[hard[0]]) < MAX_NWIN - 1):
+                dup_hints[hard[0]].append(hard[1])
                 continue
             shuffles += 1
             if shuffles <= 3:
@@ -422,29 +394,34 @@ def _match_tables(T, nv, vreg_of_blk, hs, tile, lo, real,
             for g in range(g0, g1):
                 if stripe_of_grp is not None:
                     failed_stripes.add(int(stripe_of_grp[g]))
-            nwin_v[v] = max(nw, 1)
+            for mo in range(M):
+                nwin_v[mo][v] = max(nw[mo], 1)
             break
 
     if failed_stripes:
         return failed_stripes
-    nwin = max(1, int(nwin_v.max(initial=1)))
-    # unused window slots point at the vreg's first window (in-bounds)
-    first = np.where(win_tiles[:, 0] >= 0, win_tiles[:, 0], 0)
-    for j in range(MAX_NWIN):
-        win_tiles[:, j] = np.where(win_tiles[:, j] >= 0, win_tiles[:, j],
-                                   first)
-    return sub_assign, win_assign, win_tiles[:, :nwin], nwin, tables[:, :nwin]
+    out = []
+    for mo in range(M):
+        nwin = max(1, int(nwin_v[mo].max(initial=1)))
+        wt = win_tiles[mo]
+        # unused window slots point at the vreg's first window (in-bounds)
+        first = np.where(wt[:, 0] >= 0, wt[:, 0], 0)
+        for j in range(MAX_NWIN):
+            wt[:, j] = np.where(wt[:, j] >= 0, wt[:, j], first)
+        out.append((win_assign[mo], wt[:, :nwin], nwin,
+                    tables[mo][:, :nwin]))
+    return sub_assign, out
 
 
-def _pack_mode(B: VBC1D, stripes, plan, w, target_sub, target_lane, X,
-               ng=NG, fixed_sub=None):
-    """Build meta/win_tiles/val for one x-layout over one width class.
+def _pack_class(B: VBC1D, stripes, plan, w, mode_targets, X, ng=NG):
+    """Build metas/win_tiles/val for one width class over one or two
+    x-layout modes (jointly matched: one sublane assignment, per-mode
+    windows/tables).
 
-    ``fixed_sub`` (from a prior mode's pack) pins the block->sublane
-    assignment so both gather metas address the same value layout.
-    Returns a dict, a set of (global) stripe ids to reflow, or None if
-    the class cannot ever route (too many windows per vreg even after
-    full reflow)."""
+    ``mode_targets``: list of ``(target_sub, target_lane)`` per mode.
+    Returns a dict with per-mode ``metas``/``win_bases``/``nwins``, a
+    set of (global) stripe ids to reflow, or None if the class cannot
+    ever route (too many windows per vreg even after full reflow)."""
     nb, T = plan["nb"], plan["T"]
     grp_stripe = plan["grp_stripe"]  # class-local stripe index
     grp_in_stripe = plan["grp_in_stripe"]
@@ -469,50 +446,58 @@ def _pack_mode(B: VBC1D, stripes, plan, w, target_sub, target_lane, X,
     idx_safe = B.idx if B.idx.size else np.zeros(1, B.idx.dtype)
     rows = np.where(real, idx_safe[np.clip(gblk, 0, idx_safe.size - 1)], 0)
 
-    hs = target_sub[rows]  # x sublane in the buffer
-    L = target_lane[rows]  # x lane in the buffer
-    hs = np.where(real, hs, 0)
-    L = np.where(real, L, 0)
-
     nv = ng // 128
     blk_vreg = (grp_col[blk_grp] // 128).astype(np.int64)
-    tile = np.where(real, L >> 7, -1)
-    lo = np.where(real, L & 127, 0)
-    # infeasibility / reflow pre-check: vregs needing more distinct
-    # tiles than MAX_NWIN either reflow (stripes split into more
-    # groups) or, if already minimal, fail the class
-    pair = blk_vreg * (int(tile.max(initial=0)) + 2) + tile
-    uniq_v = np.unique(pair[real]) // (int(tile.max(initial=0)) + 2)
-    over = np.flatnonzero(np.bincount(uniq_v, minlength=T * nv) > MAX_NWIN)
-    if over.size:
-        gsel = np.isin(blk_vreg[::8] * 1, over)  # group's vreg over limit
-        cand = np.unique(grp_stripe[gsel])
-        splittable = cand[plan["ngr"][cand] < nb[cand]]
-        if splittable.size == 0:
-            return None
-        return set(int(stripes[s]) for s in splittable)
-    tile = np.where(real, tile, 0)
+    modes = []
+    for target_sub, target_lane in mode_targets:
+        hs = np.where(real, target_sub[rows], 0)
+        L = np.where(real, target_lane[rows], 0)
+        tile = np.where(real, L >> 7, -1)
+        lo = np.where(real, L & 127, 0)
+        # infeasibility / reflow pre-check: vregs needing more distinct
+        # tiles than MAX_NWIN either reflow (stripes split into more
+        # groups) or, if already minimal, fail the class
+        pair = blk_vreg * (int(tile.max(initial=0)) + 2) + tile
+        uniq_v = np.unique(pair[real]) // (int(tile.max(initial=0)) + 2)
+        over = np.flatnonzero(
+            np.bincount(uniq_v, minlength=T * nv) > MAX_NWIN)
+        if over.size:
+            gsel = np.isin(blk_vreg[::8] * 1, over)  # group vreg over limit
+            cand = np.unique(grp_stripe[gsel])
+            # splitting stays useful (pad groups spread real blocks over
+            # more lanes -> fewer tiles per vreg) until a whole vreg
+            # holds a single real block
+            splittable = cand[plan["ngr"][cand] < 128 * nb[cand]]
+            if splittable.size == 0:
+                return None
+            return set(int(stripes[s]) for s in splittable)
+        modes.append((hs, np.where(real, tile, 0), lo))
 
-    # ---- sublane assignment / A-tables --------------------------------
-    if fixed_sub is not None:
-        res = _match_fixed(T, nv, blk_vreg, hs, tile, lo, real, fixed_sub,
-                           stripe_of_grp=grp_stripe)
-    else:
-        res = _match_tables(T, nv, blk_vreg, hs, tile, lo, real,
-                            stripe_of_grp=grp_stripe)
+    # ---- joint sublane assignment / A-tables ---------------------------
+    res = _match_joint(T, nv, blk_vreg, modes, real,
+                       stripe_of_grp=grp_stripe)
     if isinstance(res, set):
         return set(int(stripes[s]) for s in res)  # stripes to reflow
-    sub_assign, win_assign, win_tiles, nwin, tables = res
+    sub_assign, per_mode = res
 
-    # ---- fused meta stream ----------------------------------------------
-    meta = np.zeros((8, T * ng), dtype=np.int32)
     col_of_blk = grp_col[blk_grp]
-    meta[sub_assign, col_of_blk] = (lo | (win_assign << 7)).astype(np.int32)
-    # table cells: element (s, vreg*128 + p) bits 10+3d
-    tab_sl = np.maximum(tables, 0).astype(np.int32)  # [T*nv, nwin, 8, 128]
-    shifts = (10 + 3 * np.arange(nwin, dtype=np.int32))[:, None, None]
-    tab_bits = (tab_sl << shifts).sum(axis=1)  # [T*nv, 8, 128]
-    meta |= tab_bits.transpose(1, 0, 2).reshape(8, T * nv * 128)
+    metas, win_bases, nwins = [], [], []
+    for mo, (win_assign, win_tiles, nwin, tables) in enumerate(per_mode):
+        lo = modes[mo][2]
+        # ---- fused meta stream ------------------------------------------
+        meta = np.zeros((8, T * ng), dtype=np.int32)
+        meta[sub_assign, col_of_blk] = (
+            lo | (win_assign << 7)).astype(np.int32)
+        # table cells: element (s, vreg*128 + p) bits 10+3d
+        tab_sl = np.maximum(tables, 0).astype(np.int32)
+        shifts = (10 + 3 * np.arange(nwin, dtype=np.int32))[:, None, None]
+        tab_bits = (tab_sl << shifts).sum(axis=1)  # [T*nv, 8, 128]
+        meta |= tab_bits.transpose(1, 0, 2).reshape(8, T * nv * 128)
+        metas.append(meta)
+        # win_tiles are tile ids; convert to 128-aligned base lanes
+        win_bases.append(
+            np.clip(win_tiles * 128, 0, max(X - 128, 0)).astype(np.int32))
+        nwins.append(nwin)
 
     # ---- values (sublane-permuted to match the assignment) -------------
     ofs0 = B.ofs[stripes].astype(np.int64)
@@ -527,9 +512,7 @@ def _pack_mode(B: VBC1D, stripes, plan, w, target_sub, target_lane, X,
             0.0,
         )
         val_i[wi * 8 + sub_assign, col_of_blk] = v_w
-    # win_tiles are tile ids; convert to 128-aligned base lanes
-    xbase = np.clip(win_tiles * 128, 0, max(X - 128, 0)).astype(np.int32)
-    return dict(val_i=val_i, meta=meta, win_base=xbase, nwin=nwin,
+    return dict(val_i=val_i, metas=metas, win_bases=win_bases, nwins=nwins,
                 sub=sub_assign)
 
 
@@ -550,8 +533,14 @@ def _gseg_ends(plan, T, ng=NG, ns=NS):
 
 def pack_stream3(B: VBC1D, ng=NG, ns=NS):
     """VBC1D -> chained-stream format; None if the matrix is non-square,
-    a class is wider than 8, the slot buffer exceeds VMEM, or the
-    A-table matching fails after reflow."""
+    a class is wider than 8, or the slot buffer exceeds VMEM.
+
+    Two-phase matching: phase 1 packs dual metas (natural + slot) with
+    one joint sublane assignment — entry is then a free tile-granular
+    relayout.  If the natural constraints cannot route (scattered
+    rows), phase 2 packs slot-only and the entry becomes one Clos
+    permute into the slot buffer (a reshape-transpose for natural
+    formats) — the chain's steady state is identical either way."""
     assert ng % 128 == 0 and ns % 128 == 0 and ns <= ng
     widths = B.Phi.widths()
     if widths.size == 0 or B.m != B.n or int(widths.max(initial=0)) > 8:
@@ -562,9 +551,7 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
     cls_stripes = [np.flatnonzero(widths == w) for w in ws]
     nb_all = (B.pos[1:] - B.pos[:-1]).astype(np.int64)
 
-    extra = np.zeros(S_all, dtype=np.int64)
-    result = None
-    for _attempt in range(4):
+    def layout(extra):
         plans = []
         offs = [0]
         for st in cls_stripes:
@@ -572,26 +559,22 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
             plans.append(plan)
             offs.append(offs[-1] + plan["T"])
         T = offs[-1]
-
         X = T * ns
         nat_lanes = 128 * (-(-B.m // 1024))  # 8*X >= m, 128-aligned
         X = max(X, nat_lanes)
         if X > MAX_X:
             return None
-
         # stripe -> global slot lane
         P = np.zeros(S_all, dtype=np.int64)
         for c, st in enumerate(cls_stripes):
             pc = plans[c]
             P[st] = (offs[c] + pc["end_chunk"]) * ns + pc["slot"]
-
         natural = bool(
             len(ws) == 1
             and ws[0] == 8
             and np.array_equal(P, np.arange(S_all))
             and np.array_equal(spl, np.arange(S_all + 1) * 8)
         )
-
         # x-layout targets (indexed by row id 0..m-1 == column id).
         # Natural layout is tile-interleaved: x[r] at
         # ((r>>7)&7, (r>>10)*128 + (r&127)) — 1024 consecutive elements
@@ -605,49 +588,65 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
         stripe_of = np.repeat(np.arange(S_all), np.diff(spl))
         slot_sub = (np.arange(B.n) - spl[stripe_of]).astype(np.int64)
         slot_lane = P[stripe_of].astype(np.int64)
+        return dict(plans=plans, offs=offs, T=T, X=X, P=P, natural=natural,
+                    nat=(nat_sub, nat_lane), slot=(slot_sub, slot_lane))
 
-        fail = set()
-        packed = []  # per class: (nat dict, slot dict)
-        for c, st in enumerate(cls_stripes):
-            # slot mode first (the steady-state layout the value stream
-            # is ordered for); nat mode then reuses its sublane choice
-            psl = _pack_mode(B, st, plans[c], ws[c], slot_sub, slot_lane,
-                             X, ng)
-            if psl is None:
+    def try_pack(dual: bool, max_attempts: int):
+        extra = np.zeros(S_all, dtype=np.int64)
+        for _attempt in range(max_attempts):
+            lay = layout(extra)
+            if lay is None:
                 return None
-            if isinstance(psl, set):
-                fail |= psl
-                packed.append(None)
-                continue
-            pn = _pack_mode(B, st, plans[c], ws[c], nat_sub, nat_lane, X,
-                            ng, fixed_sub=psl["sub"])
-            if pn is None:
-                return None
-            if isinstance(pn, set):
-                fail |= pn
-                packed.append(None)
-                continue
-            packed.append((pn, psl))
-        if not fail:
-            result = (plans, offs, T, X, P, natural, packed,
-                      slot_sub, slot_lane, stripe_of)
-            break
-        fidx = np.asarray(sorted(fail), dtype=np.int64)
-        extra[fidx] += np.maximum(1, np.maximum(1, -(-nb_all[fidx] // 8)))
-    if result is None:
+            fail = set()
+            packed = []
+            for c, st in enumerate(cls_stripes):
+                targets = ([lay["nat"], lay["slot"]] if dual
+                           else [lay["slot"]])
+                p = _pack_class(B, st, lay["plans"][c], ws[c], targets,
+                                lay["X"], ng)
+                if p is None:
+                    return None
+                if isinstance(p, set):
+                    fail |= p
+                    packed.append(None)
+                    continue
+                packed.append(p)
+            if not fail:
+                return lay, packed
+            # geometric reflow: scattered thin classes need their
+            # stripes spread over ~2x fewer lanes per round for the
+            # per-vreg window count to converge (pad groups are cheap:
+            # one chunk lane each)
+            fidx = np.asarray(sorted(fail), dtype=np.int64)
+            grown = np.maximum(
+                (extra[fidx] + 1) * 2 - 1,
+                extra[fidx] + np.maximum(1, -(-nb_all[fidx] // 8)))
+            extra[fidx] = grown
         return None
-    (plans, offs, T, X, P, natural, packed, slot_sub, slot_lane,
-     stripe_of) = result
+
+    # phase 1: dual meta (free tile-interleaved entry)
+    result = try_pack(True, 6)
+    dual = result is not None
+    if not dual:
+        # phase 2: slot-only + entry permutation
+        result = try_pack(False, 6)
+        if result is None:
+            return None
+    lay, packed = result
+    plans, offs, T, X, natural = (lay["plans"], lay["offs"], lay["T"],
+                                  lay["X"], lay["natural"])
+    slot_sub, slot_lane = lay["slot"]
 
     nv = ng // 128
-    nwins = tuple(max(packed[c][0]["nwin"], packed[c][1]["nwin"])
-                  for c in range(len(ws)))
+    nwins = tuple(max(packed[c]["nwins"]) for c in range(len(ws)))
     nwin = max(nwins)
 
     meta_nat = np.zeros((8, T * ng), dtype=np.int32)
-    meta_slot = np.zeros((8, T * ng), dtype=np.int32)
+    meta_slot = meta_nat if not dual else np.zeros((8, T * ng),
+                                                   dtype=np.int32)
     xt_nat = np.zeros((T * nv, nwin), dtype=np.int32)
-    xt_slot = np.zeros((T * nv, nwin), dtype=np.int32)
+    xt_slot = xt_nat if not dual else np.zeros((T * nv, nwin),
+                                               dtype=np.int32)
     nslots = np.zeros(T, dtype=np.int32)
     straddle = np.zeros(T, dtype=np.int32)
     has_scan = any(not p["identity"] for p in plans)
@@ -655,27 +654,47 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
     ends = np.zeros((1, T * ns), dtype=np.int32) if has_scan else None
     vals = []
     for c, w in enumerate(ws):
-        pn, psl = packed[c]
+        pc = packed[c]
         t0, t1 = offs[c], offs[c + 1]
         Tc = t1 - t0
-        meta_nat[:, t0 * ng:t1 * ng] = pn["meta"]
-        meta_slot[:, t0 * ng:t1 * ng] = psl["meta"]
+        meta_nat[:, t0 * ng:t1 * ng] = pc["metas"][0]
+        if dual:
+            meta_slot[:, t0 * ng:t1 * ng] = pc["metas"][1]
 
-        def fill_xt(dst, src):
-            wb = src["win_base"]  # [Tc*nv, nwin_c]
+        def fill_xt(dst, wb):
             dst[t0 * nv:t1 * nv, :wb.shape[1]] = wb
             if wb.shape[1] < nwin:  # pad with window 0 (in-bounds)
                 dst[t0 * nv:t1 * nv, wb.shape[1]:] = wb[:, :1]
 
-        fill_xt(xt_nat, pn)
-        fill_xt(xt_slot, psl)
+        fill_xt(xt_nat, pc["win_bases"][0])
+        if dual:
+            fill_xt(xt_slot, pc["win_bases"][1])
         nslots[t0:t1] = plans[c]["nslots"]
         straddle[t0:t1] = plans[c]["straddle"]
         if has_scan:
             ge = _gseg_ends(plans[c], Tc, ng, ns)
             gseg[:, t0 * ng:t1 * ng] = ge[0]
             ends[:, t0 * ns:t1 * ns] = ge[1]
-        vals.append(pn["val_i"])
+        vals.append(pc["val_i"])
+
+    # entry: how natural x reaches the iteration-0 buffer
+    entry_plan = entry_gidx = entry_mask = None
+    if dual:
+        entry_mode = "tile"
+    elif natural:
+        entry_mode = "transpose"  # slot buffer == reshape(X, 8).T
+    else:
+        perm2d = np.zeros((8, X), dtype=np.int64)
+        mask2d = np.zeros((8, X), dtype=bool)
+        perm2d[slot_sub, slot_lane] = np.arange(B.n)
+        mask2d[slot_sub, slot_lane] = True
+        entry_plan = wg.pack_permute2d(perm2d, mask2d, B.m)
+        if entry_plan is None:
+            entry_mode = "gather"
+            entry_gidx = perm2d.astype(np.int32)
+            entry_mask = mask2d.astype(np.float32)
+        else:
+            entry_mode = "clos"
 
     # exit: non-natural formats store (8, T*ns) sublane-major, so
     # y[j] = out.flat[wi*(T*ns) + P(stripe)] — consecutive j hit
@@ -720,6 +739,10 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
         exit_idx=exit_idx,
         exit_wi=exit_wi,
         exit_lane=exit_lane,
+        entry_mode=entry_mode,
+        entry_plan=entry_plan,
+        entry_gidx=entry_gidx,
+        entry_mask=entry_mask,
     )
     return jax.device_put(fmt)
 
@@ -733,7 +756,10 @@ def _chain_kernel(fmt: StreamFormat3, n_iters: int):
     NW = fmt.nwin
     T = fmt.num_chunks
     C = len(fmt.ws)
-    dual = n_iters > 1
+    # dual metas only when iteration 0 gathers a different (natural
+    # tile-interleaved) layout than the steady state; entry-permute
+    # formats use ONE meta/xtile stream for every iteration
+    dual = fmt.entry_mode == "tile" and n_iters > 1
     has_scan = fmt.has_scan
     has_straddle = fmt.has_straddle
 
@@ -891,18 +917,23 @@ def _chain_kernel(fmt: StreamFormat3, n_iters: int):
 def _chain_call(fmt: StreamFormat3, n_iters: int):
     T, X = fmt.num_chunks, fmt.X
     ng, ns = fmt.ng, fmt.ns
-    dual = n_iters > 1
-    in_specs = [
-        # meta_nat: streams on iteration 0, frozen afterwards
-        pl.BlockSpec((8, ng),
-                     lambda i, t, *_: (0, jnp.where(i == 0, t, T - 1)),
-                     memory_space=pltpu.VMEM),
-    ]
+    dual = fmt.entry_mode == "tile" and n_iters > 1
     if dual:
-        in_specs.append(
+        in_specs = [
+            # meta_nat: streams on iteration 0, frozen afterwards
+            pl.BlockSpec((8, ng),
+                         lambda i, t, *_: (0, jnp.where(i == 0, t, T - 1)),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, ng),
                          lambda i, t, *_: (0, jnp.where(i == 0, 0, t)),
-                         memory_space=pltpu.VMEM))
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        # one meta stream for every iteration
+        in_specs = [
+            pl.BlockSpec((8, ng), lambda i, t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+        ]
     if fmt.has_scan:
         in_specs += [
             pl.BlockSpec((1, ng), lambda i, t, *_: (0, t),
@@ -958,12 +989,27 @@ def _chain_call(fmt: StreamFormat3, n_iters: int):
 
 
 def entry3(fmt: StreamFormat3, x: jax.Array) -> jax.Array:
-    """Natural x [m] -> (8, X) buffer: x[r] at
-    ((r>>7)&7, (r>>10)*128 + (r&127)) — a tile-granular relayout."""
+    """Natural x [m] -> the (8, X) iteration-0 buffer.
+
+    ``tile``: x[r] at ((r>>7)&7, (r>>10)*128 + (r&127)) — a free
+    tile-granular relayout (lane dim preserved: vreg moves only).
+    Other modes produce the *slot* buffer directly: ``transpose``
+    (natural formats, slot == reshape(X, 8).T), ``clos`` (one routed
+    Pallas permute), ``gather`` (XLA gather, last resort)."""
     x = x.astype(jnp.float32)
-    R = fmt.X // 128
-    xp = jnp.zeros(R * 1024, jnp.float32).at[: fmt.m].set(x)
-    return xp.reshape(R, 8, 128).transpose(1, 0, 2).reshape(8, fmt.X)
+    if fmt.entry_mode == "tile":
+        R = fmt.X // 128
+        xp = jnp.zeros(R * 1024, jnp.float32).at[: fmt.m].set(x)
+        return xp.reshape(R, 8, 128).transpose(1, 0, 2).reshape(8, fmt.X)
+    if fmt.entry_mode == "transpose":
+        xp = jnp.zeros(8 * fmt.X, jnp.float32).at[: fmt.m].set(x)
+        return xp.reshape(fmt.X, 8).T
+    if fmt.entry_mode == "clos":
+        buf = wg.apply_clos(fmt.entry_plan, x)  # (8, >=X)
+        return buf[:, : fmt.X]
+    # "gather"
+    xp = jnp.concatenate([x, jnp.zeros(1, jnp.float32)])
+    return xp[jnp.minimum(fmt.entry_gidx, fmt.m)] * fmt.entry_mask
 
 
 def exit3(fmt: StreamFormat3, out: jax.Array) -> jax.Array:
@@ -993,7 +1039,7 @@ def tr_spmv_chain3(fmt: StreamFormat3, x: jax.Array, n_iters: int = 1,
     alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
     xin = entry3(fmt, x)
     args = [fmt.meta_nat]
-    if n_iters > 1:
+    if fmt.entry_mode == "tile" and n_iters > 1:
         args.append(fmt.meta_slot)
     if fmt.has_scan:
         args += [fmt.gseg, fmt.ends]

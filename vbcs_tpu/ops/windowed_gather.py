@@ -54,16 +54,34 @@ class PermutePlan:
     valid: jax.Array  # [8, T*1024] f32 output mask
 
 
-def pack_permute(perm: np.ndarray, src_len: int):
+def pack_permute(perm: np.ndarray, src_len: int, mask=None):
     """Build a windowed-gather plan for ``out[i] = src[perm[i]]``.
 
     Prefers the Clos 3-take plan (conflict-free routed gather, ~2x the
     ladder's rate); falls back to the broadcast-ladder plan, then to
-    None (caller uses an XLA gather)."""
-    plan = pack_clos(np.asarray(perm, dtype=np.int64), src_len)
+    None (caller uses an XLA gather).  ``mask`` (bool [n]) marks output
+    positions to produce (others are zeroed)."""
+    plan = pack_clos(np.asarray(perm, dtype=np.int64), src_len, mask=mask)
     if plan is not None:
         return plan
-    return _pack_ladder(perm, src_len)
+    if mask is None:
+        return _pack_ladder(perm, src_len)
+    return None
+
+
+def pack_permute2d(perm2d: np.ndarray, mask2d: np.ndarray, src_len: int):
+    """Clos plan producing a 2-D (8, N) buffer directly:
+    ``out[s, l] = src[perm2d[s, l]]`` (N must be a multiple of 128).
+    The masked cells are zero.  Locality bound: each (8, 128-lane)
+    column window draws from <= MAX_WBLK aligned 1024-element source
+    tiles.  Returns None when not routable."""
+    perm2d = np.asarray(perm2d, dtype=np.int64)
+    assert perm2d.shape[0] == 8 and perm2d.shape[1] % 128 == 0
+    # interleave to the flat element order used by pack_clos segments:
+    # element e of segment v sits at (s = e % 8, l = 128*v + e // 8)
+    perm_flat = perm2d.T.reshape(-1)
+    mask_flat = np.asarray(mask2d, dtype=bool).T.reshape(-1)
+    return pack_clos(perm_flat, src_len, mask=mask_flat, layout="2d")
 
 
 def _pack_ladder(perm: np.ndarray, src_len: int) -> PermutePlan | None:
@@ -234,7 +252,7 @@ def apply_permute(plan, src: jax.Array) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["meta", "xtile", "valid"],
-    meta_fields=["n_out", "src_len", "wblk", "num_chunks"],
+    meta_fields=["n_out", "src_len", "wblk", "num_chunks", "layout"],
 )
 @dataclasses.dataclass(frozen=True)
 class ClosPlan:
@@ -245,10 +263,12 @@ class ClosPlan:
     meta: jax.Array  # [wblk, 8, T*1024] int32
     xtile: jax.Array  # [T*NV*wblk] int32 window base tile (1024-unit)
     valid: jax.Array  # [8, T*1024] f32 output mask
+    layout: str = "flat"  # "flat" -> [n_out]; "2d" -> (8, T*1024) buffer
 
 
 def pack_clos(perm: np.ndarray, src_len: int,
-              max_w: int = MAX_WBLK) -> "ClosPlan | None":
+              max_w: int = MAX_WBLK, mask=None,
+              layout: str = "flat") -> "ClosPlan | None":
     """Clos-routed plan for ``out[i] = src[perm[i]]`` (any index map)."""
     perm = np.asarray(perm, dtype=np.int64)
     n = perm.size
@@ -256,7 +276,11 @@ def pack_clos(perm: np.ndarray, src_len: int,
     pp = np.zeros(T * CO, dtype=np.int64)
     pp[:n] = perm
     vmask = np.zeros(T * CO, dtype=np.float32)
-    vmask[:n] = 1.0
+    if mask is None:
+        vmask[:n] = 1.0
+    else:
+        vmask[:n] = np.asarray(mask, dtype=np.float32)
+        pp[:n] = np.where(np.asarray(mask, dtype=bool), pp[:n], 0)
 
     nseg = T * NV
     seg_vals = pp.reshape(nseg, 1024)
@@ -375,11 +399,11 @@ def pack_clos(perm: np.ndarray, src_len: int,
     return jax.device_put(ClosPlan(
         n_out=int(n), src_len=int(src_len), wblk=int(wblk),
         num_chunks=int(T), meta=meta, xtile=xtiles[:, :wblk].reshape(-1),
-        valid=valid,
+        valid=valid, layout=layout,
     ))
 
 
-def _clos_kernel(wblk: int):
+def _clos_kernel(wblk: int, layout: str = "flat"):
     def kernel(xtile_ref, valid_ref, meta_ref, *rest):
         win_refs = rest[: NV * wblk]
         out_ref = rest[NV * wblk]
@@ -406,14 +430,18 @@ def _clos_kernel(wblk: int):
                 c = jnp.take_along_axis(t1, A2, axis=0)
                 acc = jnp.where(WIDv == wi, c, acc) if wblk > 1 else c
             acc = acc * valid[:, v_ * 128:(v_ + 1) * 128]
-            parts.append(acc.T)
-        out_ref[...] = jnp.concatenate(parts, axis=0)  # [1024, 8]
+            parts.append(acc.T if layout == "flat" else acc)
+        if layout == "flat":
+            out_ref[...] = jnp.concatenate(parts, axis=0)  # [1024, 8]
+        else:
+            out_ref[...] = jnp.concatenate(parts, axis=1)  # [8, 1024]
 
     return kernel
 
 
 def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
-    """out[i] = src[perm[i]] (f32) via the Clos 3-take kernel."""
+    """``layout="flat"``: out[i] = src[perm[i]] (f32), shape [n_out].
+    ``layout="2d"``: the (8, T*1024) buffer with out[s, l] = src[perm2d[s, l]]."""
     T, wblk = plan.num_chunks, plan.wblk
     rows = -(-plan.src_len // 1024) * 8 + 8 * MAX_WBLK
     sp = jnp.zeros(rows * 128, jnp.float32).at[: plan.src_len].set(
@@ -445,14 +473,22 @@ def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec(
             (1024, 8), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
+        )
+        if plan.layout == "flat"
+        else pl.BlockSpec(
+            (8, 1024), lambda g, *_: (0, g), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        _clos_kernel(wblk),
+        _clos_kernel(wblk, plan.layout),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T * 1024, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T * 1024, 8), jnp.float32)
+        if plan.layout == "flat"
+        else jax.ShapeDtypeStruct((8, T * 1024), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )(plan.xtile, plan.valid, plan.meta, *([s2d] * (NV * wblk)))
-    return out.reshape(-1)[: plan.n_out]
+    if plan.layout == "flat":
+        return out.reshape(-1)[: plan.n_out]
+    return out  # (8, T*1024) buffer
