@@ -115,3 +115,89 @@ def test_stream_chunk_plan_matches_python():
         np.testing.assert_array_equal(got[0], np.asarray(pieces))
         np.testing.assert_array_equal(got[1], np.asarray(straddle))
         np.testing.assert_array_equal(got[2], np.asarray(nslots))
+
+
+def test_match_joint_native_parity():
+    """C++ match_joint == Python oracle bit-for-bit on a multi-class
+    scrambled-FEM pack (exercises dual-mode matching, DFS retries,
+    window duplication)."""
+    import os
+
+    import pytest
+
+    import scipy.sparse as sp
+
+    from vbcs_tpu.native import get_lib
+    from vbcs_tpu.operator import VBCOperator
+    from vbcs_tpu.ops import pallas_trspmv3 as pk3
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    k = 64
+    nn = k * k
+    A = sp.diags(
+        [np.full(nn, 4.0), -np.ones(nn - 1), -np.ones(nn - 1),
+         -np.ones(nn - k), -np.ones(nn - k)],
+        [0, 1, -1, k, -k], format="csc")
+    p = np.random.default_rng(5).permutation(nn)
+    A = A[p][:, p].tocsc().astype(np.float32)
+    op = VBCOperator.from_csc(A, W=8)
+    B = op.host_tr
+    os.environ["VBCS_NO_NATIVE"] = "1"
+    try:
+        f_py = pk3.pack_stream3(B)
+    finally:
+        del os.environ["VBCS_NO_NATIVE"]
+    f_cc = pk3.pack_stream3(B)
+    assert (f_py is None) == (f_cc is None)
+    if f_py is None:
+        return
+    assert f_py.ws == f_cc.ws and f_py.offs == f_cc.offs
+    assert f_py.nwins == f_cc.nwins and f_py.entry_mode == f_cc.entry_mode
+    np.testing.assert_array_equal(
+        np.asarray(f_py.meta_nat), np.asarray(f_cc.meta_nat))
+    np.testing.assert_array_equal(
+        np.asarray(f_py.meta_slot), np.asarray(f_cc.meta_slot))
+    np.testing.assert_array_equal(
+        np.asarray(f_py.xtile_nat), np.asarray(f_cc.xtile_nat))
+    for a, b in zip(f_py.vals, f_cc.vals):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_clos_route_native_parity():
+    """C++ clos_route == Python routing loop bit-for-bit (banded,
+    masked, and unroutable permutations)."""
+    import os
+
+    import pytest
+
+    from vbcs_tpu.native import get_lib
+    from vbcs_tpu.ops import windowed_gather as wg
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    cases = []
+    n = 20000
+    cases.append((np.clip(np.arange(n) + rng.integers(-200, 200, n),
+                          0, n - 1), n, None))
+    mask = rng.random(9000) > 0.2
+    cases.append((np.arange(9000), 9000, mask))
+    cases.append((rng.permutation(30000), 30000, None))  # unroutable
+    for perm, sl, m in cases:
+        os.environ["VBCS_NO_NATIVE"] = "1"
+        try:
+            p_py = wg.pack_clos(perm, sl, mask=m)
+        finally:
+            del os.environ["VBCS_NO_NATIVE"]
+        p_cc = wg.pack_clos(perm, sl, mask=m)
+        assert (p_py is None) == (p_cc is None)
+        if p_py is None:
+            continue
+        assert (p_py.wblk, p_py.num_chunks) == (p_cc.wblk, p_cc.num_chunks)
+        np.testing.assert_array_equal(
+            np.asarray(p_py.meta), np.asarray(p_cc.meta))
+        np.testing.assert_array_equal(
+            np.asarray(p_py.xtile), np.asarray(p_cc.xtile))
+        np.testing.assert_array_equal(
+            np.asarray(p_py.valid), np.asarray(p_cc.valid))

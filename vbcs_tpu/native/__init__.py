@@ -82,6 +82,18 @@ def get_lib():
             ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.match_joint.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, u8p, i64p, i64p, i64p, i64p,
+            i64p, i64p, i64p, i16p, i64p, i64p, i64p,
+        ]
+        lib.clos_route.argtypes = [
+            ctypes.c_int64, i64p, u8p, ctypes.c_int64,
+            i32p, i32p, i64p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -210,5 +222,87 @@ def stream_chunk_plan_native(ngr: np.ndarray, NG: int, NS: int):
 def match_joint_native(T, nv, vreg_of_blk, modes, real,
                        stripe_of_grp=None):
     """C++ joint A-table matcher for the v3 stream packer; None if the
-    lib is unavailable (callers fall back to the Python oracle)."""
-    return None  # C++ implementation below (wired in a later commit)
+    lib is unavailable (callers fall back to the Python oracle).
+
+    Exact port: identical sub/window assignments, A-tables, and reflow
+    decisions to ``pallas_trspmv3._match_joint`` (parity-tested,
+    tests/test_pallas_v3.py)."""
+    lib = get_lib()
+    M = len(modes)
+    if lib is None or M > 2:
+        return None
+    MAX_NWIN = 7
+    nblk = int(real.size)
+    nvreg = int(T * nv)
+    ngrp = nblk // 8
+    vreg = np.ascontiguousarray(vreg_of_blk, dtype=np.int64)
+    real_u8 = np.ascontiguousarray(real, dtype=np.uint8)
+    hs_a = np.ascontiguousarray(
+        np.stack([m[0] for m in modes]), dtype=np.int64).reshape(-1)
+    tile_a = np.ascontiguousarray(
+        np.stack([m[1] for m in modes]), dtype=np.int64).reshape(-1)
+    lo_a = np.ascontiguousarray(
+        np.stack([m[2] for m in modes]), dtype=np.int64).reshape(-1)
+    sog = (np.ascontiguousarray(stripe_of_grp, dtype=np.int64)
+           if stripe_of_grp is not None else None)
+    sub_assign = np.zeros(nblk, dtype=np.int64)
+    win_assign = np.zeros(M * nblk, dtype=np.int64)
+    win_tiles = np.full((M, nvreg, MAX_NWIN), -1, dtype=np.int64)
+    tables = np.full((M, nvreg, MAX_NWIN, 8, 128), -1, dtype=np.int16)
+    nwin_v = np.zeros((M, nvreg), dtype=np.int64)
+    failed = np.zeros(max(ngrp, 1), dtype=np.int64)
+    n_failed = np.zeros(1, dtype=np.int64)
+    lib.match_joint(
+        int(T), int(nv), int(M), int(nblk),
+        _p64(vreg),
+        real_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _p64(hs_a), _p64(tile_a), _p64(lo_a),
+        _p64(sog) if sog is not None else None,
+        _p64(sub_assign), _p64(win_assign), _p64(win_tiles),
+        tables.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        _p64(nwin_v), _p64(failed), _p64(n_failed),
+    )
+    nf = int(n_failed[0])
+    if nf:
+        return set(int(s) for s in failed[:nf])
+    out = []
+    for mo in range(M):
+        nwin = max(1, int(nwin_v[mo].max(initial=1)))
+        wt = win_tiles[mo]
+        # unused window slots point at the vreg's first window (in-bounds)
+        first = np.where(wt[:, 0] >= 0, wt[:, 0], 0)
+        for j in range(MAX_NWIN):
+            wt[:, j] = np.where(wt[:, j] >= 0, wt[:, j], first)
+        out.append((win_assign[mo * nblk:(mo + 1) * nblk], wt[:, :nwin],
+                    nwin, tables[mo][:, :nwin]))
+    return sub_assign, out
+
+
+def clos_route_native(seg_vals: np.ndarray, seg_mask: np.ndarray,
+                      max_w: int):
+    """C++ Clos 3-take router (windowed_gather.pack_clos inner loop);
+    returns (planes [nseg, max_w, 8, 128] i32, xtiles [nseg, max_w] i32,
+    nwin [nseg] i64), False if the map cannot route, or None if the
+    lib is unavailable.  Exact port: identical planes/xtiles/row
+    choices to the Python loop (parity-tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seg_vals = np.ascontiguousarray(seg_vals, dtype=np.int64)
+    seg_mask = np.ascontiguousarray(seg_mask, dtype=np.uint8)
+    nseg = seg_vals.shape[0]
+    planes = np.zeros((nseg, max_w, 8, 128), dtype=np.int32)
+    xtiles = np.zeros((nseg, max_w), dtype=np.int32)
+    nwin = np.zeros(nseg, dtype=np.int64)
+    ok = np.zeros(1, dtype=np.int64)
+    lib.clos_route(
+        int(nseg), _p64(seg_vals),
+        seg_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(max_w),
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        xtiles.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _p64(nwin), _p64(ok),
+    )
+    if not int(ok[0]):
+        return False
+    return planes, xtiles, nwin

@@ -21,6 +21,9 @@
 #include <cstring>
 #include <limits>
 #include <vector>
+#include <algorithm>
+#include <array>
+#include <functional>
 
 extern "C" {
 
@@ -269,6 +272,395 @@ void overlap_chunk(int64_t n, const int64_t* pos, const int64_t* idx,
   }
   out_spl[count++] = n;
   *out_len = count;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Joint A-table matcher for the v3 stream packer (pallas_trspmv3
+// _match_joint): assign each 8-block group's blocks to distinct
+// sublanes such that every x-layout mode's per-window A-table cells
+// (window, sublane, lane-offset) are consistent.  Exact port of the
+// Python oracle — identical outputs, including DFS order, retry
+// rotation, duplication hints and reflow decisions.
+//
+//   M <= 2 modes; tables/win_tiles/nwin_v/sub_assign/win_assign are
+//   caller-allocated and pre-filled (-1 / -1 / 0 / 0 / 0).  Failed
+//   stripes (reflow requests) are appended to `failed` (may contain
+//   duplicates; caller dedups).  MJ_W == MAX_NWIN == 7.
+static const int MJ_W = 7;
+
+void match_joint(int64_t T, int64_t nv, int64_t M, int64_t nblk,
+                 const int64_t* vreg_of_blk, const uint8_t* real,
+                 const int64_t* hs_a, const int64_t* tile_a,
+                 const int64_t* lo_a, const int64_t* stripe_of_grp,
+                 int64_t* sub_assign, int64_t* win_assign,
+                 int64_t* win_tiles, int16_t* tables, int64_t* nwin_v,
+                 int64_t* failed, int64_t* n_failed) {
+  const int64_t ngrp = nblk / 8;
+  const int64_t nvreg = T * nv;
+  *n_failed = 0;
+  // group -> vreg (blocks of a group share one vreg); groups are laid
+  // out vreg-major, so boundaries come from a counting pass
+  std::vector<int64_t> vstart(static_cast<size_t>(nvreg) + 1, 0);
+  {
+    std::vector<int64_t> cnt(static_cast<size_t>(nvreg) + 1, 0);
+    for (int64_t g = 0; g < ngrp; ++g) ++cnt[vreg_of_blk[g * 8] + 1];
+    for (int64_t v = 0; v < nvreg; ++v) cnt[v + 1] += cnt[v];
+    for (int64_t v = 0; v <= nvreg; ++v) vstart[v] = cnt[v];
+  }
+
+  struct Opt { int si; int j[2]; };
+  struct Cand {
+    int nopts;
+    int64_t hs[2], tb[2], lob[2];
+    long starve[2];
+    int b;
+    int ofirst;
+  };
+  std::vector<Opt> optpool;
+  std::vector<Cand> cands;
+  std::vector<int64_t> order;
+
+  for (int64_t v = 0; v < nvreg; ++v) {
+    const int64_t g0 = vstart[v], g1 = vstart[v + 1];
+    if (g0 >= g1) continue;
+    int64_t dup_hints[2][MJ_W];
+    int ndup[2] = {0, 0};
+    int shuffles = 0;
+    int16_t* tabs[2] = {nullptr, nullptr};
+    int64_t* wts[2] = {nullptr, nullptr};
+    int nw[2] = {0, 0};
+    for (int retry = 0; retry < MJ_W + 4; ++retry) {
+      for (int mo = 0; mo < M; ++mo) {
+        tabs[mo] = tables + (static_cast<int64_t>(mo) * nvreg + v) * MJ_W * 1024;
+        std::fill(tabs[mo], tabs[mo] + MJ_W * 1024, static_cast<int16_t>(-1));
+        wts[mo] = win_tiles + (static_cast<int64_t>(mo) * nvreg + v) * MJ_W;
+        std::fill(wts[mo], wts[mo] + MJ_W, static_cast<int64_t>(-1));
+        nw[mo] = 0;
+        for (int h = 0; h < ndup[mo]; ++h)
+          if (nw[mo] < MJ_W) wts[mo][nw[mo]++] = dup_hints[mo][h];
+      }
+      bool vreg_ok = true;
+      int hard_mo = -1;
+      int64_t hard_tb = -1;
+      const int len = static_cast<int>(g1 - g0);
+      order.resize(len);
+      for (int k = 0; k < len; ++k) order[k] = g0 + k;
+      if (shuffles > 0) {  // deterministic rotated restarts
+        const int r = (shuffles * 37) % (len > 1 ? len : 1);
+        std::rotate(order.begin(), order.begin() + r, order.end());
+        std::reverse(order.begin(), order.end());
+      }
+      for (int gi = 0; gi < len; ++gi) {
+        const int64_t g = order[gi];
+        int reals[8], nre = 0;
+        for (int b = 0; b < 8; ++b)
+          if (real[g * 8 + b]) reals[nre++] = b;
+        if (nre == 0) continue;
+        // ensure a window exists for every block tile, per mode
+        for (int mo = 0; mo < M && vreg_ok; ++mo) {
+          for (int ri = 0; ri < nre; ++ri) {
+            const int64_t tb = tile_a[mo * nblk + g * 8 + reals[ri]];
+            bool found = false;
+            for (int j = 0; j < nw[mo]; ++j)
+              if (wts[mo][j] == tb) { found = true; break; }
+            if (!found) {
+              if (nw[mo] >= MJ_W) { vreg_ok = false; break; }
+              wts[mo][nw[mo]++] = tb;
+            }
+          }
+        }
+        if (!vreg_ok) break;
+        // candidate (si, window-per-mode) options per block
+        optpool.clear();
+        cands.clear();
+        for (int ri = 0; ri < nre; ++ri) {
+          const int b = reals[ri];
+          Cand c;
+          c.b = b;
+          c.starve[0] = c.starve[1] = 0;
+          for (int mo = 0; mo < M; ++mo) {
+            c.hs[mo] = hs_a[mo * nblk + g * 8 + b];
+            c.tb[mo] = tile_a[mo * nblk + g * 8 + b];
+            c.lob[mo] = lo_a[mo * nblk + g * 8 + b];
+          }
+          c.ofirst = static_cast<int>(optpool.size());
+          int nopts = 0;
+          for (int si = 0; si < 8; ++si) {
+            int js[2][MJ_W], njs[2] = {0, 0};
+            for (int mo = 0; mo < M; ++mo) {
+              for (int j = 0; j < nw[mo]; ++j) {
+                if (wts[mo][j] == c.tb[mo]) {
+                  const int16_t cell = tabs[mo][j * 1024 + si * 128 + c.lob[mo]];
+                  if (cell == -1 || cell == c.hs[mo]) js[mo][njs[mo]++] = j;
+                }
+              }
+              c.starve[mo] += njs[mo];
+            }
+            bool allok = true;
+            for (int mo = 0; mo < M; ++mo)
+              if (njs[mo] == 0) allok = false;
+            if (!allok) continue;
+            if (M == 1) {
+              for (int a = 0; a < njs[0]; ++a) {
+                optpool.push_back({si, {js[0][a], 0}});
+                ++nopts;
+              }
+            } else {
+              for (int a = 0; a < njs[0]; ++a)
+                for (int bb = 0; bb < njs[1]; ++bb) {
+                  optpool.push_back({si, {js[0][a], js[1][bb]}});
+                  ++nopts;
+                }
+            }
+          }
+          c.nopts = nopts;
+          cands.push_back(c);
+        }
+        std::stable_sort(cands.begin(), cands.end(),
+                         [](const Cand& a, const Cand& b) {
+                           return a.nopts < b.nopts;
+                         });
+        int used = 0;
+        struct Choice { int si; int combo[2]; };
+        Choice chosen[8];
+        long budget = 4000;
+        const int ncand = static_cast<int>(cands.size());
+        // recursive DFS, identical visit order to the Python oracle
+        std::function<bool(int)> dfs;
+        auto dfs_impl = [&](int k, auto&& self) -> bool {
+          if (k == ncand) return true;
+          if (--budget <= 0) return false;
+          const Cand& c = cands[k];
+          for (int o = 0; o < c.nopts; ++o) {
+            const Opt& op = optpool[c.ofirst + o];
+            const int si = op.si;
+            if (used & (1 << si)) continue;
+            struct W { int mo, j; int64_t lob; };
+            W wrote[2];
+            int nwrote = 0;
+            bool ok = true;
+            for (int mo = 0; mo < M; ++mo) {
+              const int j = op.j[mo];
+              const int16_t cell = tabs[mo][j * 1024 + si * 128 + c.lob[mo]];
+              if (cell != -1 && cell != c.hs[mo]) { ok = false; break; }
+              if (cell == -1) {
+                tabs[mo][j * 1024 + si * 128 + c.lob[mo]] =
+                    static_cast<int16_t>(c.hs[mo]);
+                wrote[nwrote++] = {mo, j, c.lob[mo]};
+              }
+            }
+            if (!ok) {
+              for (int wix = 0; wix < nwrote; ++wix)
+                tabs[wrote[wix].mo][wrote[wix].j * 1024 + si * 128 +
+                                    wrote[wix].lob] = -1;
+              continue;
+            }
+            used |= 1 << si;
+            chosen[c.b] = {si, {op.j[0], op.j[1]}};
+            if (self(k + 1, self)) return true;
+            used &= ~(1 << si);
+            for (int wix = 0; wix < nwrote; ++wix)
+              tabs[wrote[wix].mo][wrote[wix].j * 1024 + si * 128 +
+                                  wrote[wix].lob] = -1;
+          }
+          return false;
+        };
+        if (!dfs_impl(0, dfs_impl)) {
+          vreg_ok = false;
+          // duplicate the most-starved mode's tile for the hardest block
+          const Cand& c0 = cands[0];
+          hard_mo = 0;
+          for (int mo = 1; mo < M; ++mo)
+            if (c0.starve[mo] < c0.starve[hard_mo]) hard_mo = mo;
+          hard_tb = c0.tb[hard_mo];
+          break;
+        }
+        int freev[8], nf = 0;
+        for (int si = 0; si < 8; ++si)
+          if (!(used & (1 << si))) freev[nf++] = si;
+        int fi = 0;
+        for (int b = 0; b < 8; ++b) {
+          const int64_t blk = g * 8 + b;
+          if (real[blk]) {
+            sub_assign[blk] = chosen[b].si;
+            for (int mo = 0; mo < M; ++mo)
+              win_assign[mo * nblk + blk] = chosen[b].combo[mo];
+          } else {
+            sub_assign[blk] = freev[fi++];
+          }
+        }
+      }
+      if (vreg_ok) {
+        for (int mo = 0; mo < M; ++mo)
+          nwin_v[mo * nvreg + v] = nw[mo] > 1 ? nw[mo] : 1;
+        break;
+      }
+      if (hard_mo >= 0 && shuffles == 0 && ndup[hard_mo] < MJ_W - 1) {
+        dup_hints[hard_mo][ndup[hard_mo]++] = hard_tb;
+        continue;
+      }
+      ++shuffles;
+      if (shuffles <= 3) continue;
+      // out of retry room: mark this vreg's stripes for reflow
+      if (stripe_of_grp) {
+        for (int64_t g = g0; g < g1; ++g)
+          failed[(*n_failed)++] = stripe_of_grp[g];
+      }
+      for (int mo = 0; mo < M; ++mo)
+        nwin_v[mo * nvreg + v] = nw[mo] > 1 ? nw[mo] : 1;
+      break;
+    }
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Clos 3-take routing for windowed_gather.pack_clos: per 1024-element
+// output segment, route each needed source element through (spread
+// row, lane, collect row) stages over <= max_w aligned source windows.
+// Exact port of the Python loop (same window order, registration
+// order, row choices).  planes [nseg, max_w, 8, 128] int32 and
+// xtiles [nseg, max_w] int32 are caller-zeroed; nwin [nseg].
+// out_ok = 0 when any segment cannot route (caller returns None).
+void clos_route(int64_t nseg, const int64_t* seg_vals,
+                const uint8_t* seg_mask, int64_t max_w, int32_t* planes,
+                int32_t* xtiles, int64_t* nwin_out, int64_t* out_ok) {
+  *out_ok = 1;
+  const int MW = static_cast<int>(max_w);
+  // per-window state (fixed capacity 8 windows max)
+  struct Win {
+    int64_t tile;
+    int16_t A0[8][128];
+    int16_t L1[8][128];
+    // registrations per lo: (hi, r) pairs in append order
+    uint8_t reg_cnt[128];
+    int8_t reg_hi[128][8];
+    int8_t reg_r[128][8];
+  };
+  std::vector<Win> wins(static_cast<size_t>(MW));
+  int8_t A2[8][128];
+  int8_t WID[8][128];
+
+  for (int64_t v = 0; v < nseg; ++v) {
+    const int64_t* vals = seg_vals + v * 1024;
+    const uint8_t* msk = seg_mask + v * 1024;
+    int nwin = 0;
+    std::memset(A2, 0, sizeof(A2));
+    std::memset(WID, 0, sizeof(WID));
+    bool ok = true;
+    for (int l = 0; l < 128 && ok; ++l) {
+      // per-column used map: used_key[wi][r] = hi*128+lo or -1
+      int16_t used_key[8][8];
+      for (int wi = 0; wi < nwin; ++wi)
+        for (int r = 0; r < 8; ++r) used_key[wi][r] = -1;
+      for (int s = 0; s < 8; ++s) {
+        const int e = l * 8 + s;
+        if (!msk[e]) continue;
+        const int64_t tgt = vals[e];
+        const int64_t tile = tgt >> 10;
+        const int hi = static_cast<int>((tgt >> 7) & 7);
+        const int lo = static_cast<int>(tgt & 127);
+        const int16_t key = static_cast<int16_t>(hi * 128 + lo);
+        bool placed = false;
+        for (int wi = 0; wi < nwin && !placed; ++wi) {
+          Win& W = wins[wi];
+          if (W.tile != tile) continue;
+          // reuse a registration not yet used in this column
+          for (int q = 0; q < W.reg_cnt[lo]; ++q) {
+            if (W.reg_hi[lo][q] != hi) continue;
+            const int r = W.reg_r[lo][q];
+            const int16_t uk = used_key[wi][r];
+            if (uk != -1 && uk != key) continue;
+            if (W.L1[r][l] == -1 || W.L1[r][l] == lo) {
+              W.L1[r][l] = static_cast<int16_t>(lo);
+              A2[s][l] = static_cast<int8_t>(r);
+              WID[s][l] = static_cast<int8_t>(wi);
+              used_key[wi][r] = key;
+              placed = true;
+              break;
+            }
+          }
+          if (placed) break;
+          // new registration in a free row
+          for (int r = 0; r < 8; ++r) {
+            const int16_t uk = used_key[wi][r];
+            if (uk != -1 && uk != key) continue;
+            if ((W.A0[r][lo] == -1 || W.A0[r][lo] == hi) &&
+                (W.L1[r][l] == -1 || W.L1[r][l] == lo)) {
+              W.A0[r][lo] = static_cast<int16_t>(hi);
+              W.L1[r][l] = static_cast<int16_t>(lo);
+              const int q = W.reg_cnt[lo]++;
+              W.reg_hi[lo][q] = static_cast<int8_t>(hi);
+              W.reg_r[lo][q] = static_cast<int8_t>(r);
+              A2[s][l] = static_cast<int8_t>(r);
+              WID[s][l] = static_cast<int8_t>(wi);
+              used_key[wi][r] = key;
+              placed = true;
+              break;
+            }
+          }
+          if (placed) break;
+        }
+        if (!placed) {
+          if (nwin >= MW) {
+            ok = false;
+            break;
+          }
+          Win& W = wins[nwin];
+          W.tile = tile;
+          std::memset(W.A0, 0xff, sizeof(W.A0));  // -1
+          std::memset(W.L1, 0xff, sizeof(W.L1));
+          std::memset(W.reg_cnt, 0, sizeof(W.reg_cnt));
+          W.A0[0][lo] = static_cast<int16_t>(hi);
+          W.L1[0][l] = static_cast<int16_t>(lo);
+          W.reg_cnt[lo] = 1;
+          W.reg_hi[lo][0] = static_cast<int8_t>(hi);
+          W.reg_r[lo][0] = 0;
+          A2[s][l] = 0;
+          WID[s][l] = static_cast<int8_t>(nwin);
+          used_key[nwin][0] = key;
+          // rows 1..7 of the new window start unused this column
+          for (int r = 1; r < 8; ++r) used_key[nwin][r] = -1;
+          ++nwin;
+        }
+      }
+    }
+    if (!ok) {
+      *out_ok = 0;
+      return;
+    }
+    if (nwin == 0) {
+      Win& W = wins[0];
+      W.tile = 0;
+      std::memset(W.A0, 0xff, sizeof(W.A0));
+      std::memset(W.L1, 0xff, sizeof(W.L1));
+      nwin = 1;
+    }
+    nwin_out[v] = nwin;
+    int32_t* pv = planes + v * MW * 1024;
+    for (int wi = 0; wi < nwin; ++wi) {
+      const Win& W = wins[wi];
+      for (int r = 0; r < 8; ++r) {
+        for (int l = 0; l < 128; ++l) {
+          int32_t a0 = W.A0[r][l] > 0 ? W.A0[r][l] : 0;
+          int32_t l1 = W.L1[r][l] > 0 ? W.L1[r][l] : 0;
+          int32_t p = a0 | (l1 << 3);
+          if (wi == 0)
+            p |= (static_cast<int32_t>(A2[r][l]) << 10) |
+                 (static_cast<int32_t>(WID[r][l]) << 13);
+          pv[wi * 1024 + r * 128 + l] = p;
+        }
+      }
+      xtiles[v * MW + wi] = static_cast<int32_t>(W.tile);
+    }
+    for (int wi = nwin; wi < MW; ++wi)
+      xtiles[v * MW + wi] = static_cast<int32_t>(wins[0].tile);
+  }
 }
 
 }  // extern "C"

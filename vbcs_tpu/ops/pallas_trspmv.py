@@ -95,8 +95,13 @@ class StreamFormat:
     y_scale: jax.Array  # [n] f32 — 1.0 (reserved for scaling variants)
 
 
-def pack_stream(B: VBC1D, ns: int = NS, cq_cap: int = 4096) -> StreamFormat:
+def pack_stream(B: VBC1D, ns: int = NS, cq_cap: int = 4096,
+                device: bool = True) -> StreamFormat:
     """Host-side packer: VBC1D -> chunked per-width streams.
+
+    ``device=False`` returns the format with host (NumPy) arrays —
+    callers that post-process the arrays (e.g. pack_stream2's fallback
+    gather plans) avoid a device round trip through the TPU tunnel.
 
     Chunk rule: accumulate blocks stripe by stripe; cut when the chunk
     reaches ``cq`` blocks (straddle, with carry) or would exceed ``ns``
@@ -204,7 +209,7 @@ def pack_stream(B: VBC1D, ns: int = NS, cq_cap: int = 4096) -> StreamFormat:
         y_perm=y_perm.astype(np.int32),
         y_scale=np.ones(B.n, dtype=np.float32),
     )
-    return jax.device_put(fmt)
+    return jax.device_put(fmt) if device else fmt
 
 
 def _class_kernel(w: int, cq: int):

@@ -284,8 +284,11 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
     return arrays, slot_of_stripe, True
 
 
-def pack_stream2(B: VBC1D) -> StreamFormat2:
-    """Host packer: VBC1D -> interleaved chunked streams (+ v1 fallback)."""
+def pack_stream2(B: VBC1D, device: bool = True) -> StreamFormat2:
+    """Host packer: VBC1D -> interleaved chunked streams (+ v1 fallback).
+
+    ``device=False`` keeps host arrays (callers that post-process and
+    re-put, e.g. the 2-D bundle packer, avoid tunnel round trips)."""
     widths = B.Phi.widths()
     classes = []
     fallback_stripes = []
@@ -323,35 +326,34 @@ def pack_stream2(B: VBC1D) -> StreamFormat2:
         flat_base += T * NS * w
 
     fallback = None
+    fb_gather = ()
     if fallback_stripes:
         sub = _subset_vbc(B, sorted(fallback_stripes))
-        fb = v1.pack_stream(sub.B)
-        fb_perm = np.asarray(fb.y_perm)
-        y_perm[sub.cols] = flat_base + fb_perm
+        # host arrays: the gather plans read c.row below, and pulling a
+        # device array back through the TPU tunnel stalls for minutes
+        fb = v1.pack_stream(sub.B, device=False)
+        y_perm[sub.cols] = flat_base + fb.y_perm
         flat_base += int(fb.total_slots)
-        fallback = fb
+        fb_gather = tuple(
+            wg.pack_permute(np.asarray(c.row, dtype=np.int64), B.m)
+            for c in fb.classes
+        )
+        fallback = fb  # host arrays; the final device_put covers it
 
     natural = bool(np.array_equal(y_perm, np.arange(B.n)))
     y_plan = None if natural else wg.pack_permute(y_perm, max(1, flat_base))
-    fb_gather = ()
-    if fallback is not None:
-        fb_gather = tuple(
-            wg.pack_permute(np.asarray(c.row, dtype=np.int64), B.m)
-            for c in fallback.classes
-        )
-    return jax.device_put(
-        StreamFormat2(
-            m=B.m,
-            n=B.n,
-            total_slots=flat_base,
-            natural=natural,
-            classes=tuple(classes),
-            fallback=fallback,
-            y_perm=y_perm.astype(np.int32),
-            y_plan=y_plan,
-            fb_gather=fb_gather,
-        )
+    fmt = StreamFormat2(
+        m=B.m,
+        n=B.n,
+        total_slots=flat_base,
+        natural=natural,
+        classes=tuple(classes),
+        fallback=fallback,
+        y_perm=y_perm.astype(np.int32),
+        y_plan=y_plan,
+        fb_gather=fb_gather,
     )
+    return jax.device_put(fmt) if device else fmt
 
 
 @dataclasses.dataclass

@@ -310,7 +310,7 @@ def pack_stream_vbc2d(B2: VBC2D) -> Stream2DBundle:
     if fallback_stripes:
         view = B2.to_1d_view()
         sub = pk2._subset_vbc(view, fallback_stripes)
-        fmt1d = pk2.pack_stream2(sub.B)
+        fmt1d = pk2.pack_stream2(sub.B, device=False)
         sub_perm = np.asarray(fmt1d.y_perm)
         y_perm[sub.cols] = flat_base + sub_perm
         flat_base += int(fmt1d.total_slots)

@@ -296,6 +296,28 @@ def pack_clos(perm: np.ndarray, src_len: int,
     if np.bincount(uniq_seg, minlength=nseg).max(initial=0) > max_w:
         return None
 
+    # C++ fast path (exact port of the loop below; parity-tested)
+    from ..native import clos_route_native
+
+    routed = clos_route_native(seg_vals, seg_mask, max_w)
+    if routed is False:
+        return None
+    if routed is not None:
+        planes_all, xtiles_n, nwin_seg = routed
+        wblk = max(1, int(nwin_seg.max(initial=1)))
+        meta = np.ascontiguousarray(
+            planes_all[:, :wblk].transpose(1, 2, 0, 3).reshape(
+                wblk, 8, T * 1024))
+        valid = np.ascontiguousarray(
+            vmask.reshape(T, 1024, 8).transpose(2, 0, 1).reshape(
+                8, T * 1024))
+        return jax.device_put(ClosPlan(
+            n_out=int(n), src_len=int(src_len), wblk=int(wblk),
+            num_chunks=int(T),
+            meta=meta, xtile=xtiles_n[:, :wblk].reshape(-1),
+            valid=valid, layout=layout,
+        ))
+
     metas = []  # per vreg: list of [8,128] int32 planes
     xtiles = np.zeros((nseg, max_w), dtype=np.int32)
     wblk_all = 1
