@@ -531,16 +531,19 @@ def _gseg_ends(plan, T, ng=NG, ns=NS):
     return gseg, ends
 
 
-def pack_stream3(B: VBC1D, ng=NG, ns=NS):
+def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False):
     """VBC1D -> chained-stream format; None if the matrix is non-square,
     a class is wider than 8, or the slot buffer exceeds VMEM.
 
-    Two-phase matching: phase 1 packs dual metas (natural + slot) with
-    one joint sublane assignment — entry is then a free tile-granular
-    relayout.  If the natural constraints cannot route (scattered
-    rows), phase 2 packs slot-only and the entry becomes one Clos
-    permute into the slot buffer (a reshape-transpose for natural
-    formats) — the chain's steady state is identical either way."""
+    Two matching modes.  ``prefer_dual=True`` packs dual metas
+    (natural + slot) with one joint sublane assignment — entry is then
+    a free tile-granular relayout, but the joint constraints inflate
+    the per-class window count ``nwins[c]`` that the kernel pays on
+    EVERY chain iteration (measured: flagship 113 vs 223 Gnnz/s).
+    The default therefore packs slot-only: the steady state gets the
+    minimal window count and the entry becomes one Clos permute into
+    the slot buffer (a reshape-transpose for natural formats) — paid
+    once per chain, amortized over n_iters."""
     assert ng % 128 == 0 and ns % 128 == 0 and ns <= ng
     widths = B.Phi.widths()
     if widths.size == 0 or B.m != B.n or int(widths.max(initial=0)) > 8:
@@ -625,7 +628,7 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS):
         return None
 
     # phase 1: dual meta (free tile-interleaved entry)
-    result = try_pack(True, 6)
+    result = try_pack(True, 6) if prefer_dual else None
     dual = result is not None
     if not dual:
         # phase 2: slot-only + entry permutation
