@@ -4,35 +4,78 @@ TPU chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-* value        — achieved nnz/s (Giga) for iterative (chained) TrSpMV
-                 via the v3 fused-chain Pallas kernel on a banded blocky
-                 matrix sized like Boeing/ct20stif (~2.5M nnz, the
-                 reference's flagship benchmark matrix).  This is the
-                 steady-state per-multiply rate: the chain holds x/y in
-                 VMEM, so each iteration pays only the val+meta HBM
-                 stream — the faithful analog of the reference's
-                 BenchmarkTools loop around mul!(y, B', x), whose CPU
-                 kernel also has no per-call boundary work.
+* value        — achieved Gnnz/s for a SINGLE ``y = A.T @ x`` call (the
+                 v3 one-shot kernel: natural x in, natural y out, all
+                 traffic from/to HBM) on a banded blocky matrix sized
+                 like Boeing/ct20stif (~2.5M nnz, the reference's
+                 flagship benchmark matrix).  This is the op the
+                 reference's harness times (``bin/test_table.jl:80``).
 * vs_baseline  — fraction of the HBM-bandwidth roofline at the spec
                  819 GB/s (BASELINE.json target: >= 0.8), counting
-                 values + metadata + x + y per iteration.  Values > 1
-                 mean the chip sustains more than spec bandwidth for
-                 this stream (measured ~1.04 TB/s effective) AND the
-                 chain removed the x/y/permutation traffic.
-* extras       — one-shot rate (entry + 1 iteration + exit, the v2
-                 kernel path with its slot->natural permutation), the
-                 u-blocked 2-D kernel's rate, plan/pack times.
+                 values + metadata + x + y bytes per call.
+* extras       — the fused-chain steady-state rate (iterative solver
+                 regime: x/y live in VMEM, only val+meta stream, so it
+                 can exceed the one-shot roofline — its own roofline
+                 ``chain_roofline_gnnz_s`` drops the x/y bytes), the
+                 2-D u-blocked kernel, SpMM (k=128), the scrambled-FEM
+                 matrix through auto-RCM, an information-free scattered
+                 matrix (reported honestly: the reference loses to CSC
+                 there too, src/ref.out:120-131), and plan/pack times.
 
-Timing uses the difference method (utils/timing.py): on this machine's
-remote TPU platform a ~28 ms per-call constant (tunnel shipping) and a
-~60 us RPC floor dominate wall clock; (T(n_hi)-T(n_lo))/(n_hi-n_lo)
-cancels both.  n_hi=2000 so the marginal rises well above noise.
+Engineering notes (learned from round-2's rc=124 and this round's
+probes — every rule here exists because its violation cost minutes):
+  * every stage is wrapped in a wall-clock budget; on overrun or error
+    the stage's fields are simply absent and the JSON still prints;
+  * each measurement compiles at most TWO jits (the difference-method
+    endpoints); the one-shot loop takes the trip count as a TRACED
+    argument so both endpoints share one executable;
+  * formats are passed to jit as pytree ARGUMENTS, never closed over:
+    closure constants are fetched back from the device during MLIR
+    lowering (array._value in _array_mlir_constant_handler), which on
+    this tunneled platform ships the whole ~12 MB format at RPC pace;
+  * per-call timing uses the difference method (utils/timing.py): the
+    ~28 ms per-call tunnel constant and ~60 us RPC floor cancel in
+    (T(n_hi) - T(n_lo)) / (n_hi - n_lo).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("VBCS_BENCH_BUDGET_S", "480"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - T_START:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def stage(result: dict, name: str, min_budget_s: float):
+    """Decorator: run fn(result) unless the remaining budget is below
+    min_budget_s; absorb errors; always continue to the next stage."""
+
+    def deco(fn):
+        if remaining() < min_budget_s:
+            log(f"SKIP {name}: {remaining():.0f}s left < {min_budget_s}s")
+            result.setdefault("skipped", []).append(name)
+            return
+        log(f"stage {name} (budget left {remaining():.0f}s)")
+        try:
+            fn()
+            log(f"stage {name} done")
+        except Exception as e:  # noqa: BLE001 — partial JSON beats rc!=0
+            log(f"stage {name} FAILED: {type(e).__name__}: {e}")
+            result.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"
+
+    return deco
 
 
 def hbm_bandwidth_bytes_per_s(device) -> float:
@@ -93,20 +136,9 @@ def blocky2d_matrix(K=10000, u=4, w=8, d=8, band=400, seed=0):
     return A
 
 
-def wall_best(g, arg, reps=4):
-    g(arg)[0].block_until_ready() if isinstance(g(arg), tuple) else None
-    float(np.asarray(g(arg)))
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(np.asarray(g(arg)))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def fem_matrix(k=320, seed=5):
     """Scrambled 5-point grid Laplacian — thermal1-like FEM structure
-    hidden behind a bad row ordering (auto-RCM should recover it)."""
+    hidden behind a bad row ordering (auto-RCM recovers it)."""
     import scipy.sparse as sp
 
     n = k * k
@@ -120,171 +152,249 @@ def fem_matrix(k=320, seed=5):
     return A[p][:, p].tocsc()
 
 
+def scattered_matrix():
+    """Information-free scatter (thermal1-sized).  Loaded from
+    data/scattered.npz (pre-generated: sp.random at this size costs
+    minutes of host RNG; the bench must not pay that)."""
+    import scipy.sparse as sp
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "scattered.npz")
+    if os.path.exists(path):
+        return sp.load_npz(path).tocsc()
+    return sp.random(82654, 82654, 574458 / 82654**2, random_state=9,
+                     format="csc").astype(np.float32)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     import vbcs_tpu as v
-    from vbcs_tpu.ops import pallas_trspmv2 as pk2
     from vbcs_tpu.ops import pallas_trspmv3 as pk3
+    from vbcs_tpu.operator import VBCOperator
     from vbcs_tpu.utils.timing import periter
 
     dev0 = jax.devices()[0]
     bw = hbm_bandwidth_bytes_per_s(dev0)
-
-    A = blocky_matrix()
-    nnz = A.nnz
-    C = v.CSC.from_scipy(A)
-
-    t0 = time.perf_counter()
-    Phi = v.pack_stripe(C, v.DynamicTotalChunker(v.model_1dvbc_memory(4, 8), 8))
-    plan_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    B = v.vbc1d(C, 8, Phi)
-    fmt2 = pk2.pack_stream2(B)
-    pack_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fmt3 = pk3.pack_stream3(B)
-    pack3_s = time.perf_counter() - t0
-    assert fmt3 is not None, "flagship must take the v3 chain path"
-
-    x = jnp.asarray(
-        np.random.default_rng(1).standard_normal(A.shape[0]), jnp.float32
-    )
-
-    # ---- headline: chained TrSpMV marginal per-iteration cost ----------
-    def mk_chain(n):
-        def f(x0):
-            return pk3.tr_spmv_chain3(fmt3, x0, n, 0.999)[0]
-
-        g = jax.jit(f)
-        return lambda: g(x)
-
-    t_iter = min(periter(mk_chain, 200, 2000, reps=4) for _ in range(3))
-
-    # ---- one-shot path (v2 kernel + slot->natural permutation) ---------
-    def mk_oneshot(n):
-        def f(x0):
-            def body(i, xc):
-                return pk2.tr_spmv_pallas2(fmt2, xc) * jnp.float32(0.999)
-
-            return jax.lax.fori_loop(0, n, body, x0)[0]
-
-        g = jax.jit(f)
-        return lambda: g(x)
-
-    t_oneshot = min(periter(mk_oneshot, 20, 220, reps=8) for _ in range(3))
-
-    # ---- dedicated u-blocked 2-D kernel ---------------------------------
-    from vbcs_tpu.ops import pallas_trspmv2d as pk2d
-    from vbcs_tpu.plan.alternating import AlternatingPacker
-    from vbcs_tpu.plan.chunkers import EquiChunker
-
-    A2 = blocky2d_matrix()
-    B2 = v.vbc2d(
-        v.CSC.from_scipy(A2), 4, 8, AlternatingPacker(EquiChunker(8), EquiChunker(4))
-    )
-    bundle = pk2d.pack_stream_vbc2d(B2)
-    x2 = jnp.asarray(
-        np.random.default_rng(2).standard_normal(A2.shape[0]), jnp.float32
-    )
-
-    def mk_2d(n):
-        def f(x0):
-            def body(i, acc):
-                return pk2d.tr_spmv_pallas_2d(bundle, x0 * (1.0 + acc * 1e-30))[0]
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
-
-        g = jax.jit(f)
-        return lambda: g(x2)
-
-    t_2d = min(periter(mk_2d, 20, 220, reps=8) for _ in range(2))
-
-    # ---- scattered rows --------------------------------------------------
-    # (a) thermal1-like FEM matrix behind a scrambled ordering: the
-    #     operator's auto symmetric-RCM recovers bandedness and the
-    #     stream kernels apply (the reference's "planner choosing well"
-    #     product, BASELINE.md:77);
-    # (b) sp.random: information-free scatter — the case the reference
-    #     itself loses to CSC on (src/ref.out:120-131); reported honestly.
-    from vbcs_tpu.operator import VBCOperator
-
-    Af = fem_matrix().astype(np.float32)
-    op_f = VBCOperator.from_csc(Af, W=8)
-    xf = jnp.asarray(
-        np.random.default_rng(3).standard_normal(Af.shape[0]), jnp.float32
-    )
-    op_f.tr_mul_chain(xf, 1)  # eager warmup: materialize lazy packs
-
-    def mk_fem(n):
-        def f(x0):
-            return op_f.tr_mul_chain(x0, n, 0.999)[0]
-
-        g = jax.jit(f)
-        return lambda: g(xf)
-
-    t_fem = min(periter(mk_fem, 200, 2000, reps=4) for _ in range(2))
-    fem_bytes = (op_f.memory_bytes() + 2 * Af.shape[0] * 4)
-    fem_roof = Af.nnz / (fem_bytes / bw)
-
-    Ar = None
-    try:
-        import scipy.sparse as sp
-
-        Ar = sp.random(82654, 82654, 574458 / 82654**2, random_state=9,
-                       format="csc")
-        op_r = VBCOperator.from_csc(Ar.astype(np.float32), W=8)
-        xr = jnp.asarray(
-            np.random.default_rng(4).standard_normal(Ar.shape[0]),
-            jnp.float32,
-        )
-        op_r.tr_mul(xr)  # eager warmup
-
-        def mk_rand(n):
-            def f(x0):
-                def body(i, xc):
-                    return op_r.tr_mul(xc) * jnp.float32(0.999)
-
-                return jax.lax.fori_loop(0, n, body, x0)[0]
-
-            g = jax.jit(f)
-            return lambda: g(xr)
-
-        t_rand = periter(mk_rand, 4, 20, reps=3)
-        rand_gnnz = Ar.nnz / t_rand / 1e9
-    except Exception:
-        rand_gnnz = float("nan")
-
-    # roofline bytes per iteration: values + metadata + x + y
-    bytes_moved = fmt3.val_i.size * 4 + fmt3.meta.size * 4 + 2 * A.shape[0] * 4
-    roofline_nnz_s = nnz / (bytes_moved / bw)
-
-    value = nnz / t_iter
     result = {
-        "metric": "1dvbc_trspmv_chained_nnz_per_s",
-        "value": round(value / 1e9, 4),
+        "metric": "1dvbc_trspmv_oneshot_nnz_per_s",
+        "value": None,
         "unit": "Gnnz/s",
-        "vs_baseline": round(value / roofline_nnz_s, 4),
+        "vs_baseline": None,
         "platform": dev0.platform,
         "device_kind": getattr(dev0, "device_kind", "?"),
-        "nnz": int(nnz),
-        "t_iter_us": round(t_iter * 1e6, 2),
-        "t_kernel_us": round(t_iter * 1e6, 2),  # chain iter IS the kernel
-        "t_full_us": round(t_iter * 1e6, 2),  # no per-iter boundary work
-        "oneshot_gnnz_s": round(nnz / t_oneshot / 1e9, 2),
-        "kernel_vs_roofline": round(value / roofline_nnz_s, 3),
-        "trspmv2d_gnnz_s": round(A2.nnz / t_2d / 1e9, 2),
-        "fem_rcm_gnnz_s": round(Af.nnz / t_fem / 1e9, 2),
-        "fem_rcm_vs_roofline": round((Af.nnz / t_fem) / fem_roof, 3),
-        "scattered_rand_gnnz_s": round(rand_gnnz, 3),
-        "plan_s": round(plan_s, 3),
-        "pack_s": round(pack_s, 3),
-        "pack_chain_s": round(pack3_s, 3),
-        "roofline_gnnz_s": round(roofline_nnz_s / 1e9, 2),
         "hbm_gb_s": round(bw / 1e9, 1),
-        "effective_hbm_gb_s": round(bytes_moved / t_iter / 1e9, 1),
+        "budget_s": BUDGET_S,
     }
+
+    def mk_oneshot_loop(fmt, x):
+        """One jitted executable, trip count traced -> both difference-
+        method endpoints share the compile."""
+
+        def make(n):
+            def f(fmt, x0, nn):
+                def body(i, xc):
+                    return pk3.tr_spmv_oneshot3(fmt, xc, 0.999)
+
+                return jax.lax.fori_loop(0, nn, body, x0)[0]
+
+            g = jax.jit(f)
+            return lambda: g(fmt, x, n)
+
+        return make
+
+    # ---- flagship build --------------------------------------------------
+    state = {}
+
+    @stage(result, "flagship_build", 60)
+    def _():
+        A = blocky_matrix()
+        C = v.CSC.from_scipy(A)
+        t0 = time.perf_counter()
+        Phi = v.pack_stripe(
+            C, v.DynamicTotalChunker(v.model_1dvbc_memory(4, 8), 8))
+        result["plan_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        B = v.vbc1d(C, 8, Phi)
+        result["pack_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fmt_o = pk3.pack_stream3(B, mode="nat")
+        result["pack_oneshot_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fmt_c = pk3.pack_stream3(B)
+        result["pack_chain_s"] = round(time.perf_counter() - t0, 3)
+        jax.block_until_ready(fmt_o.vals)
+        jax.block_until_ready(fmt_c.vals)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(A.shape[0]),
+            jnp.float32)
+        state.update(A=A, B=B, fmt_o=fmt_o, fmt_c=fmt_c, x=x)
+        result["nnz"] = int(A.nnz)
+        # one-shot roofline: values + metadata + x + y (the whole
+        # per-call HBM stream); chain roofline: values + metadata only
+        stream_bytes = sum(int(np.prod(vv.shape)) * 4 for vv in fmt_o.vals) \
+            + fmt_o.meta_nat.size * 4
+        xy_bytes = 2 * A.shape[0] * 4
+        state["oneshot_bytes"] = stream_bytes + xy_bytes
+        state["chain_bytes"] = stream_bytes
+        result["roofline_gnnz_s"] = round(
+            A.nnz / (state["oneshot_bytes"] / bw) / 1e9, 2)
+        result["chain_roofline_gnnz_s"] = round(
+            A.nnz / (state["chain_bytes"] / bw) / 1e9, 2)
+
+    # ---- one-shot (primary value) ---------------------------------------
+    @stage(result, "oneshot", 90)
+    def _():
+        A, x = state["A"], state["x"]
+        t = periter(mk_oneshot_loop(state["fmt_o"], x), 20, 220, reps=6)
+        gnnz = A.nnz / t / 1e9
+        result["value"] = round(gnnz, 2)
+        result["t_full_us"] = round(t * 1e6, 2)
+        result["t_kernel_us"] = round(t * 1e6, 2)
+        result["vs_baseline"] = round(
+            gnnz * 1e9 / (A.nnz / (state["oneshot_bytes"] / bw)), 4)
+        result["effective_hbm_gb_s"] = round(
+            state["oneshot_bytes"] / t / 1e9, 1)
+
+    # ---- fused chain (iterative steady state) ----------------------------
+    @stage(result, "chain", 60)
+    def _():
+        A, x = state["A"], state["x"]
+
+        def mk(n):
+            g = jax.jit(
+                lambda fmt, x0: pk3.tr_spmv_chain3(fmt, x0, n, 0.999)[0])
+            return lambda: g(state["fmt_c"], x)
+
+        t = periter(mk, 200, 2000, reps=4)
+        result["chain_gnnz_s"] = round(A.nnz / t / 1e9, 2)
+        result["chain_iter_us"] = round(t * 1e6, 2)
+        result["chain_vs_roofline"] = round(
+            (A.nnz / t) / (A.nnz / (state["chain_bytes"] / bw)), 3)
+
+    # ---- 2-D u-blocked kernel --------------------------------------------
+    @stage(result, "vbc2d", 60)
+    def _():
+        from vbcs_tpu.ops import pallas_trspmv2d as pk2d
+        from vbcs_tpu.plan.alternating import AlternatingPacker
+        from vbcs_tpu.plan.chunkers import EquiChunker
+
+        A2 = blocky2d_matrix()
+        B2 = v.vbc2d(v.CSC.from_scipy(A2), 4, 8,
+                     AlternatingPacker(EquiChunker(8), EquiChunker(4)))
+        bundle = pk2d.pack_stream_vbc2d(B2)
+        x2 = jnp.asarray(
+            np.random.default_rng(2).standard_normal(A2.shape[0]),
+            jnp.float32)
+
+        def mk(n):
+            def f(bundle, x0, nn):
+                def body(i, acc):
+                    return pk2d.tr_spmv_pallas_2d(
+                        bundle, x0 * (1.0 + acc * 1e-30))[0]
+
+                return jax.lax.fori_loop(0, nn, body, jnp.float32(1.0))
+
+            g = jax.jit(f)
+            return lambda: g(bundle, x2, n)
+
+        t = periter(mk, 20, 220, reps=6)
+        result["trspmv2d_gnnz_s"] = round(A2.nnz / t / 1e9, 2)
+
+    # ---- SpMM (config 4: k = 128 dense RHS) ------------------------------
+    @stage(result, "spmm", 60)
+    def _():
+        from vbcs_tpu.ops import pallas_spmm3 as pm3
+
+        A, fmt_o = state["A"], state["fmt_o"]
+        k = 128
+        X = jnp.asarray(
+            np.random.default_rng(4).standard_normal((A.shape[0], k)),
+            jnp.float32)
+
+        def mk(n):
+            def f(fmt, X0, nn):
+                def body(i, Xc):
+                    return pm3.tr_spmm_pallas3(fmt, Xc) * jnp.float32(0.999)
+
+                return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
+
+            g = jax.jit(f)
+            return lambda: g(fmt_o, X, n)
+
+        t = periter(mk, 3, 23, reps=4)
+        result["spmm_k128_gnnzk_s"] = round(A.nnz * k / t / 1e9, 1)
+        result["spmm_k128_sweep_us"] = round(t * 1e6, 1)
+        # roofline: val+meta once + X and Y once per sweep
+        bts = state["chain_bytes"] + 2 * A.shape[0] * k * 4
+        result["spmm_k128_vs_roofline"] = round(
+            (A.nnz * k / t) / (A.nnz * k / (bts / bw)), 3)
+
+    # ---- scrambled FEM through auto-RCM ---------------------------------
+    @stage(result, "fem", 80)
+    def _():
+        Af = fem_matrix().astype(np.float32)
+        t0 = time.perf_counter()
+        op = VBCOperator.from_csc(Af, W=8)
+        fmt_o = op._pallas_tr_oneshot()
+        result["fem_setup_s"] = round(time.perf_counter() - t0, 2)
+        result["fem_rcm_applied"] = op.row_perm is not None
+        xf = jnp.asarray(
+            np.random.default_rng(3).standard_normal(Af.shape[0]),
+            jnp.float32)
+        if fmt_o is not False:
+            jax.block_until_ready(fmt_o.vals)
+            t = periter(mk_oneshot_loop(fmt_o, xf), 20, 220, reps=6)
+            result["fem_oneshot_gnnz_s"] = round(Af.nnz / t / 1e9, 2)
+        t0 = time.perf_counter()
+        fmt_c = op._pallas_tr_chain()
+        result["fem_pack_chain_s"] = round(time.perf_counter() - t0, 2)
+        if fmt_c is not False and remaining() > 45:
+            jax.block_until_ready(fmt_c.vals)
+
+            def mkc(n):
+                g = jax.jit(
+                    lambda fmt, x0: pk3.tr_spmv_chain3(fmt, x0, n, 0.999)[0])
+                return lambda: g(fmt_c, xf)
+
+            t = periter(mkc, 200, 2000, reps=3)
+            result["fem_chain_gnnz_s"] = round(Af.nnz / t / 1e9, 2)
+            fem_bytes = sum(
+                int(np.prod(vv.shape)) * 4 for vv in fmt_c.vals) \
+                + fmt_c.meta_nat.size * 4
+            result["fem_chain_vs_roofline"] = round(
+                (Af.nnz / t) / (Af.nnz / (fem_bytes / bw)), 3)
+
+    # ---- information-free scatter (honest negative) ----------------------
+    @stage(result, "scattered", 60)
+    def _():
+        from vbcs_tpu.ops.pallas_trspmv2 import tr_spmv_pallas2
+
+        Ar = scattered_matrix().astype(np.float32)
+        t0 = time.perf_counter()
+        op = VBCOperator.from_csc(Ar, W=8)
+        fmt2 = op._pallas_tr()  # v2 stream pack (scattered: no v3 format)
+        result["scattered_setup_s"] = round(time.perf_counter() - t0, 2)
+        jax.block_until_ready(fmt2.classes)
+        xr = jnp.asarray(
+            np.random.default_rng(4).standard_normal(Ar.shape[0]),
+            jnp.float32)
+
+        def mk(n):
+            def f(fmt, x0, nn):
+                def body(i, xc):
+                    return tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
+
+                return jax.lax.fori_loop(0, nn, body, x0)[0]
+
+            g = jax.jit(f)
+            return lambda: g(fmt2, xr, n)
+
+        t = periter(mk, 4, 24, reps=3)
+        result["scattered_gnnz_s"] = round(Ar.nnz / t / 1e9, 3)
+
+    result["wall_s"] = round(time.perf_counter() - T_START, 1)
     print(json.dumps(result))
 
 

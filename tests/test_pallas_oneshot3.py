@@ -1,0 +1,153 @@
+"""Pallas v3 one-shot TrSpMV (natural-layout gather) — interpret mode.
+
+The one-shot packs with ``mode="nat"``: gather metadata targets the
+tile-interleaved natural x layout, so a single call needs no entry
+permutation at all (reference per-call op: ``bin/test_table.jl:80``).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+import vbcs_tpu as v
+from vbcs_tpu.ops import pallas_trspmv3 as pk3
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pk3.pl, "pallas_call", patched)
+    yield
+
+
+def banded(m, n, d, band, seed):
+    r = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for j in range(n):
+        c = int(j * m / n)
+        rr = np.unique(np.clip(c + r.integers(-band, band, d), 0, m - 1))
+        rows.extend(rr)
+        cols.extend([j] * rr.size)
+        vals.extend(r.standard_normal(rr.size))
+    return sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsc()
+
+
+def check_oneshot(A, W, method, alpha=None, expect_natural=None):
+    B = v.vbc1d(A, W, method)
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None
+    assert fmt.entry_mode == "reshape"
+    if expect_natural is not None:
+        assert fmt.natural == expect_natural
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y = np.asarray(pk3.tr_spmv_oneshot3(fmt, jnp.asarray(x), alpha))
+    a = 1.0 if alpha is None else alpha
+    want = (a * (A.T @ x.astype(np.float64))).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
+    return fmt
+
+
+def test_natural_uniform8():
+    A = banded(1024, 1024, 6, 50, seed=1)
+    fmt = check_oneshot(A, 8, v.EquiChunker(8), expect_natural=True)
+    assert not fmt.has_straddle
+
+
+def test_alpha_fused():
+    A = banded(1024, 1024, 6, 50, seed=2)
+    check_oneshot(A, 8, v.EquiChunker(8), alpha=0.25)
+
+
+def test_w4_slot_exit():
+    A = banded(800, 800, 5, 60, seed=3)
+    check_oneshot(A, 4, v.EquiChunker(4), expect_natural=False)
+
+
+def test_w1():
+    A = banded(300, 300, 3, 30, seed=4)
+    check_oneshot(A, 1, v.EquiChunker(1), expect_natural=False)
+
+
+def test_nonidentity_runs():
+    A = banded(512, 512, 40, 200, seed=6)
+    fmt = check_oneshot(A, 2, v.EquiChunker(2), expect_natural=False)
+    assert not all(fmt.identities)
+
+
+def test_straddle_carry():
+    m = 2048
+    rng = np.random.default_rng(7)
+    dense = sp.coo_matrix(
+        (rng.standard_normal(1600 * 8),
+         (np.repeat(np.arange(1600), 8), np.tile(np.arange(8), 1600))),
+        shape=(m, m),
+    )
+    diag = sp.coo_matrix(
+        (np.ones(m - 8), (np.arange(8, m), np.arange(8, m))), shape=(m, m)
+    )
+    A = (dense + diag).tocsc()
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    fmt = pk3.pack_stream3(B, ng=128, ns=128, mode="nat")
+    assert fmt is not None and fmt.has_straddle
+    rng2 = np.random.default_rng(8)
+    x = rng2.standard_normal(m).astype(np.float32)
+    y = np.asarray(pk3.tr_spmv_oneshot3(fmt, jnp.asarray(x)))
+    want = (A.T @ x).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
+
+
+def test_basis_vectors_bitwise():
+    A = banded(256, 256, 4, 20, seed=9)
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None
+    Ad = A.toarray().astype(np.float32)
+    for i in list(range(0, 256, 37)) + [255]:
+        e = np.zeros(256, np.float32)
+        e[i] = 1.0
+        y = np.asarray(pk3.tr_spmv_oneshot3(fmt, jnp.asarray(e)))
+        np.testing.assert_array_equal(y, Ad[i, :])
+
+
+def test_multiclass_dp_plan():
+    A = banded(500, 500, 5, 60, seed=12)
+    B = v.vbc1d(A, 4, v.DynamicTotalChunker(v.model_1dvbc_memory(4, 4), 4))
+    widths = B.Phi.widths()
+    if (widths == widths[0]).all():
+        pytest.skip("planner happened to produce a single class")
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None and len(fmt.ws) > 1
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(500).astype(np.float32)
+    y = np.asarray(pk3.tr_spmv_oneshot3(fmt, jnp.asarray(x)))
+    want = (A.T @ x.astype(np.float64)).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
+
+
+def test_nat_format_cannot_chain():
+    A = banded(256, 256, 4, 20, seed=14)
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    fmt = pk3.pack_stream3(B, mode="nat")
+    x = jnp.zeros(256, jnp.float32)
+    with pytest.raises(AssertionError):
+        pk3.tr_spmv_chain3(fmt, x, 2)
+
+
+def test_corpus_can292():
+    from corpus import load_corpus
+
+    A = load_corpus()["HB/can_292"].tocsc().astype(np.float64)
+    check_oneshot(A, 4, v.EquiChunker(4), expect_natural=False)

@@ -60,6 +60,8 @@ class VBCOperator:
     _fmt_tr: object = None  # pallas stream format (lazy)
     _fmt_fw: object = None
     _fmt_tr3: object = None  # pallas v3 chain format (lazy; False = n/a)
+    _fmt_tr3o: object = None  # pallas v3 one-shot (nat) format (lazy)
+    _fmt_fw3o: object = None
     _dev_tr: object = None  # XLA device format (lazy)
     _dev_fw: object = None
     use_pallas: bool = True
@@ -208,6 +210,32 @@ class VBCOperator:
                 self._fmt_tr3 = False
         return self._fmt_tr3
 
+    def _pallas_tr_oneshot(self):
+        """v3 one-shot (natural-gather) format, or False if the matrix
+        doesn't qualify (non-square, width > 8, matching failure)."""
+        if self._fmt_tr3o is None:
+            import jax
+
+            from .ops.pallas_trspmv3 import pack_stream3
+
+            with jax.ensure_compile_time_eval():
+                self._fmt_tr3o = pack_stream3(self.host_tr, mode="nat")
+            if self._fmt_tr3o is None:
+                self._fmt_tr3o = False
+        return self._fmt_tr3o
+
+    def _pallas_fw_oneshot(self):
+        if self._fmt_fw3o is None:
+            import jax
+
+            from .ops.pallas_trspmv3 import pack_stream3
+
+            with jax.ensure_compile_time_eval():
+                self._fmt_fw3o = pack_stream3(self.host_fw, mode="nat")
+            if self._fmt_fw3o is None:
+                self._fmt_fw3o = False
+        return self._fmt_fw3o
+
     def _pallas_fw(self):
         if self._fmt_fw is None:
             import jax
@@ -260,9 +288,15 @@ class VBCOperator:
         if self.row_perm is not None:
             x = self._to_permuted(x)
         if self._pallas_ok(x):
-            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+            fmt3o = self._pallas_tr_oneshot()
+            if fmt3o is not False:
+                from .ops.pallas_trspmv3 import tr_spmv_oneshot3
 
-            out = tr_spmv_pallas2(self._pallas_tr(), x)
+                out = tr_spmv_oneshot3(fmt3o, x)
+            else:
+                from .ops.pallas_trspmv2 import tr_spmv_pallas2
+
+                out = tr_spmv_pallas2(self._pallas_tr(), x)
         else:
             from .ops.xla import tr_spmv
 
@@ -279,9 +313,15 @@ class VBCOperator:
         if self.row_perm is not None:
             x = self._to_permuted(x)
         if self._pallas_ok(x):
-            from .ops.pallas_trspmv2 import tr_spmv_pallas2
+            fmt3o = self._pallas_fw_oneshot()
+            if fmt3o is not False:
+                from .ops.pallas_trspmv3 import tr_spmv_oneshot3
 
-            out = tr_spmv_pallas2(self._pallas_fw(), x)
+                out = tr_spmv_oneshot3(fmt3o, x)
+            else:
+                from .ops.pallas_trspmv2 import tr_spmv_pallas2
+
+                out = tr_spmv_pallas2(self._pallas_fw(), x)
         else:
             from .ops.xla import tr_spmv
 
@@ -336,7 +376,7 @@ class VBCOperator:
         """
         if self._pallas_ok(X):
             if self.row_perm is None:
-                fmt3 = self._pallas_tr_chain()
+                fmt3 = self._pallas_tr_oneshot()
                 if fmt3 is not False and len(fmt3.ws) == 1:
                     from .ops.pallas_spmm3 import tr_spmm_pallas3
 

@@ -170,8 +170,15 @@ def _xt_planes(fmt: pk3.StreamFormat3, X: jax.Array) -> jax.Array:
 
 def tr_spmm_pallas3(fmt: pk3.StreamFormat3, X: jax.Array,
                     kt: int = KT) -> jax.Array:
-    """Y = A.T @ X, [n, k] (k-tiled v3 stream SpMM; single-class fmt)."""
+    """Y = A.T @ X, [n, k] (k-tiled v3 stream SpMM; single-class fmt).
+
+    Requires a ``mode="nat"`` pack: the RHS column planes are laid out
+    in the tile-interleaved NATURAL layout, so the gather tables must
+    target it (slot-mode formats' ``meta_nat`` aliases the slot meta
+    since slot-only matching became the chain default)."""
     assert len(fmt.ws) == 1, "v3 SpMM runs single-width-class formats"
+    assert fmt.entry_mode in ("reshape", "tile"), \
+        "v3 SpMM needs natural gather tables: pack_stream3(B, mode='nat')"
     m, k = X.shape
     w, T, ng, ns = fmt.ws[0], fmt.num_chunks, fmt.ng, fmt.ns
     nwin = fmt.nwin

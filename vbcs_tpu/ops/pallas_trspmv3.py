@@ -65,7 +65,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.vbc1d import VBC1D
 from . import windowed_gather as wg
 
-__all__ = ["StreamFormat3", "pack_stream3", "tr_spmv_chain3"]
+__all__ = ["StreamFormat3", "pack_stream3", "tr_spmv_chain3",
+           "tr_spmv_oneshot3"]
 
 NG = 1024  # 8-block groups (lanes) per chunk
 NS = 1024  # stripe slots per chunk
@@ -531,19 +532,25 @@ def _gseg_ends(plan, T, ng=NG, ns=NS):
     return gseg, ends
 
 
-def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False):
+def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
     """VBC1D -> chained-stream format; None if the matrix is non-square,
     a class is wider than 8, or the slot buffer exceeds VMEM.
 
-    Two matching modes.  ``prefer_dual=True`` packs dual metas
-    (natural + slot) with one joint sublane assignment — entry is then
-    a free tile-granular relayout, but the joint constraints inflate
-    the per-class window count ``nwins[c]`` that the kernel pays on
-    EVERY chain iteration (measured: flagship 113 vs 223 Gnnz/s).
-    The default therefore packs slot-only: the steady state gets the
-    minimal window count and the entry becomes one Clos permute into
-    the slot buffer (a reshape-transpose for natural formats) — paid
-    once per chain, amortized over n_iters."""
+    Matching modes.  ``mode="slot"`` (default, the chain): gather
+    targets are the kernel's own output layout, so iterations compose
+    in VMEM; the one-time entry permute is amortized over n_iters.
+    ``prefer_dual=True`` additionally packs a natural-layout meta with
+    one JOINT sublane assignment — entry is then a free tile-granular
+    relayout, but the joint constraints inflate the per-class window
+    count ``nwins[c]`` that the kernel pays on EVERY iteration
+    (measured: flagship 113 vs 223 Gnnz/s), so it is opt-in.
+    ``mode="nat"`` (the one-shot, ``tr_spmv_oneshot3``): gather targets
+    are the tile-interleaved NATURAL layout — x enters as a pure
+    reshape (no permute, no relayout) and the kernel reads (8, 128)
+    windows of 1024 consecutive rows, which for banded matrices needs
+    FEWER windows than the slot layout; the result exits slot-major
+    through the usual Clos permute/reshape.  nat formats cannot chain
+    (their output layout differs from their gather layout)."""
     assert ng % 128 == 0 and ns % 128 == 0 and ns <= ng
     widths = B.Phi.widths()
     if widths.size == 0 or B.m != B.n or int(widths.max(initial=0)) > 8:
@@ -603,8 +610,12 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False):
             fail = set()
             packed = []
             for c, st in enumerate(cls_stripes):
-                targets = ([lay["nat"], lay["slot"]] if dual
-                           else [lay["slot"]])
+                if mode == "nat":
+                    targets = [lay["nat"]]
+                elif dual:
+                    targets = [lay["nat"], lay["slot"]]
+                else:
+                    targets = [lay["slot"]]
                 p = _pack_class(B, st, lay["plans"][c], ws[c], targets,
                                 lay["X"], ng)
                 if p is None:
@@ -628,10 +639,11 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False):
         return None
 
     # phase 1: dual meta (free tile-interleaved entry)
-    result = try_pack(True, 6) if prefer_dual else None
+    result = (try_pack(True, 6) if prefer_dual and mode == "slot"
+              else None)
     dual = result is not None
     if not dual:
-        # phase 2: slot-only + entry permutation
+        # phase 2: single-target (slot, or nat for the one-shot)
         result = try_pack(False, 6)
         if result is None:
             return None
@@ -682,7 +694,9 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False):
 
     # entry: how natural x reaches the iteration-0 buffer
     entry_plan = entry_gidx = entry_mask = None
-    if dual:
+    if mode == "nat":
+        entry_mode = "reshape"  # one-shot: x enters as (R*8, 128)
+    elif dual:
         entry_mode = "tile"
     elif natural:
         entry_mode = "transpose"  # slot buffer == reshape(X, 8).T
@@ -754,6 +768,104 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False):
 # kernel
 
 
+def _gather_reduce(fmt, c, meta, lo, dwin, fetch_base, fetch_win,
+                   val_ref, nv):
+    """Exact two-take windowed gather + product + in-group reduction
+    for one width class.  ``fetch_base(v_, dd)`` -> window base lane;
+    ``fetch_win(b)`` -> the (8, 128) window holding that base.
+    Returns ``red [w, ng]`` (per-group partial sums)."""
+    w = fmt.ws[c]
+    nwin_c = fmt.nwins[c]
+    ng = fmt.ng
+    xg_slices = []
+    for v_ in range(nv):
+        lo_s = lo[:, v_ * 128:(v_ + 1) * 128]
+        d_s = dwin[:, v_ * 128:(v_ + 1) * 128]
+        m_s = meta[:, v_ * 128:(v_ + 1) * 128]
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for dd in range(nwin_c):
+            b = fetch_base(v_, dd)
+            win = fetch_win(b)
+            Ad = jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(
+                    m_s, jnp.int32(10 + 3 * dd)),
+                jnp.int32(7),
+            )
+            t0 = jnp.take_along_axis(win, Ad, axis=0)
+            cand = jnp.take_along_axis(t0, lo_s, axis=1)
+            acc = (jnp.where(d_s == dd, cand, acc)
+                   if nwin_c > 1 else cand)
+        xg_slices.append(acc)
+    xg = jnp.concatenate(xg_slices, axis=1)  # [8, ng]
+    xg_t = jnp.concatenate([xg] * w, axis=0)
+    prod = val_ref[...] * xg_t
+    return prod.reshape(w, 8, ng).sum(axis=1)  # [w, ng]
+
+
+def _segscan_carry(fmt, c, red, gseg_ref, ends_ref, nslots_ref,
+                   straddle_ref, carry, t, alpha):
+    """Segmented scan + run-end extraction + straddle carry chain +
+    alpha epilogue for one width class: ``red [w, ng]`` -> ``tot
+    [w, ns]`` (stripe totals at their slot lanes)."""
+    w = fmt.ws[c]
+    ng, ns, nv = fmt.ng, fmt.ns, fmt.ng // 128
+    scan_steps = fmt.scan_steps[c]
+    identity = fmt.identities[c]
+    off = fmt.offs[c]
+    if identity or scan_steps == 0:
+        tot = red[:, :ns]
+        sc = red
+    else:
+        seg = gseg_ref[...]
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, ng), 1)
+        sc = red
+        kk = 1
+        for _ in range(scan_steps):
+            same = (seg == pltpu.roll(seg, kk, 1)) & (lane1 >= kk)
+            sc = sc + jnp.where(same, pltpu.roll(sc, kk, 1), 0.0)
+            kk *= 2
+        ends_all = ends_ref[...]
+        wq = 8 if w == 1 else w
+        tot_parts = []
+        for j in range(ns // 128):
+            ej = ends_all[:, j * 128:(j + 1) * 128]
+            ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
+            elo = jax.lax.bitwise_and(ej, jnp.int32(127))
+            elo_b = jnp.broadcast_to(elo, (wq, 128))
+            acc = jnp.zeros((wq, 128), jnp.float32)
+            for q in range(nv):
+                scq = sc[:, q * 128:(q + 1) * 128]
+                if wq != w:
+                    scq = jnp.broadcast_to(scq, (wq, 128))
+                cand = jnp.take_along_axis(scq, elo_b, axis=1)
+                acc = jnp.where(
+                    jnp.broadcast_to(ehi == q, (wq, 128)), cand, acc)
+            tot_parts.append(acc[:w])
+        tot = jnp.concatenate(tot_parts, axis=1)  # [w, ns]
+        laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
+        tot = jnp.where(laneN < nslots_ref[t], tot, 0.0)
+
+    if fmt.has_straddle:
+        laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
+        prev_str = jax.lax.select(
+            t > off,  # straddles never cross class segments
+            straddle_ref[jnp.maximum(t - 1, 0)],
+            jnp.zeros((), jnp.int32),
+        )
+        nsl = nslots_ref[t]
+        carry_vec = carry[:w, 0:1]
+        tot = tot + jnp.where(
+            (laneN == 0) & (prev_str == 1) & (nsl > 0),
+            carry_vec, 0.0)
+        tail = sc[:, ng - 1:ng]
+        carry_new = tail + jnp.where(
+            (prev_str == 1) & (nsl == 0), carry_vec, 0.0)
+        carry[:w, 0:1] = jnp.where(
+            straddle_ref[t] == 1, carry_new, 0.0)
+
+    return tot * alpha
+
+
 def _chain_kernel(fmt: StreamFormat3, n_iters: int):
     ng, ns, nv = fmt.ng, fmt.ns, fmt.ng // 128
     NW = fmt.nwin
@@ -802,98 +914,23 @@ def _chain_kernel(fmt: StreamFormat3, n_iters: int):
 
         def class_body(c):
             w = fmt.ws[c]
-            nwin_c = fmt.nwins[c]
-            scan_steps = fmt.scan_steps[c]
-            identity = fmt.identities[c]
             val_ref = val_refs[c]
-            off = fmt.offs[c]
 
-            # ---- exact 2-take windowed gather --------------------------
-            xg_slices = []
-            for v_ in range(nv):
-                lo_s = lo[:, v_ * 128:(v_ + 1) * 128]
-                d_s = dwin[:, v_ * 128:(v_ + 1) * 128]
-                m_s = meta[:, v_ * 128:(v_ + 1) * 128]
-                acc = jnp.zeros((8, 128), jnp.float32)
-                for dd in range(nwin_c):
-                    bn = xtn_ref[(t * nv + v_) * NW + dd]
-                    if dual:
-                        bs = xts_ref[(t * nv + v_) * NW + dd]
-                        b = jnp.where(i == 0, bn, bs)
-                    else:
-                        b = bn
-                    win = xy[p, :, pl.ds(pl.multiple_of(b, 128), 128)]
-                    Ad = jax.lax.bitwise_and(
-                        jax.lax.shift_right_logical(
-                            m_s, jnp.int32(10 + 3 * dd)),
-                        jnp.int32(7),
-                    )
-                    t0 = jnp.take_along_axis(win, Ad, axis=0)
-                    cand = jnp.take_along_axis(t0, lo_s, axis=1)
-                    acc = (jnp.where(d_s == dd, cand, acc)
-                           if nwin_c > 1 else cand)
-                xg_slices.append(acc)
-            xg = jnp.concatenate(xg_slices, axis=1)  # [8, ng]
+            def fetch_base(v_, dd):
+                bn = xtn_ref[(t * nv + v_) * NW + dd]
+                if dual:
+                    bs = xts_ref[(t * nv + v_) * NW + dd]
+                    return jnp.where(i == 0, bn, bs)
+                return bn
 
-            # ---- product + within-group reduction ----------------------
-            xg_t = jnp.concatenate([xg] * w, axis=0)
-            prod = val_ref[...] * xg_t
-            red = prod.reshape(w, 8, ng).sum(axis=1)  # [w, ng]
+            def fetch_win(b):
+                return xy[p, :, pl.ds(pl.multiple_of(b, 128), 128)]
 
-            # ---- segmented scan + run-end extraction -------------------
-            if identity or scan_steps == 0:
-                tot = red[:, :ns]
-                sc = red
-            else:
-                seg = gseg_ref[...]
-                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, ng), 1)
-                sc = red
-                kk = 1
-                for _ in range(scan_steps):
-                    same = (seg == pltpu.roll(seg, kk, 1)) & (lane1 >= kk)
-                    sc = sc + jnp.where(same, pltpu.roll(sc, kk, 1), 0.0)
-                    kk *= 2
-                ends_all = ends_ref[...]
-                wq = 8 if w == 1 else w
-                tot_parts = []
-                for j in range(ns // 128):
-                    ej = ends_all[:, j * 128:(j + 1) * 128]
-                    ehi = jax.lax.shift_right_logical(ej, jnp.int32(7))
-                    elo = jax.lax.bitwise_and(ej, jnp.int32(127))
-                    elo_b = jnp.broadcast_to(elo, (wq, 128))
-                    acc = jnp.zeros((wq, 128), jnp.float32)
-                    for q in range(nv):
-                        scq = sc[:, q * 128:(q + 1) * 128]
-                        if wq != w:
-                            scq = jnp.broadcast_to(scq, (wq, 128))
-                        cand = jnp.take_along_axis(scq, elo_b, axis=1)
-                        acc = jnp.where(
-                            jnp.broadcast_to(ehi == q, (wq, 128)), cand, acc)
-                    tot_parts.append(acc[:w])
-                tot = jnp.concatenate(tot_parts, axis=1)  # [w, ns]
-                laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
-                tot = jnp.where(laneN < nslots_ref[t], tot, 0.0)
-
-            # ---- carry chain (stripes straddling a chunk boundary) -----
-            if has_straddle:
-                laneN = jax.lax.broadcasted_iota(jnp.int32, (w, ns), 1)
-                prev_str = jax.lax.select(
-                    t > off,  # straddles never cross class segments
-                    straddle_ref[jnp.maximum(t - 1, 0)],
-                    jnp.zeros((), jnp.int32),
-                )
-                nsl = nslots_ref[t]
-                carry_vec = carry[:w, 0:1]
-                tot = tot + jnp.where(
-                    (laneN == 0) & (prev_str == 1) & (nsl > 0),
-                    carry_vec, 0.0)
-                tail = sc[:, ng - 1:ng]
-                carry_new = tail + jnp.where(
-                    (prev_str == 1) & (nsl == 0), carry_vec, 0.0)
-                carry[:w, 0:1] = jnp.where(
-                    straddle_ref[t] == 1, carry_new, 0.0)
-
-            tot = tot * alpha
+            red = _gather_reduce(fmt, c, meta, lo, dwin, fetch_base,
+                                 fetch_win, val_ref, nv)
+            tot = _segscan_carry(fmt, c, red, gseg_ref, ends_ref,
+                                 nslots_ref, straddle_ref, carry, t,
+                                 alpha)
             xy[1 - p, 0:w, pl.ds(t * ns, ns)] = tot
 
             @pl.when(i == n_iters - 1)
@@ -991,6 +1028,184 @@ def _chain_call(fmt: StreamFormat3, n_iters: int):
     )
 
 
+def _tile_relayout_call(Rb: int):
+    """(Rb*64, 128) natural-padded x -> (8, Rb*1024) tile-interleaved.
+
+    Every in-kernel slice is STATIC; the grid pipeline's block DMAs do
+    all the dynamic addressing.  (In-kernel dynamic-lane STORES lower
+    to predicated writes over every tile of the target — measured
+    ~1 us per copy step and ~170 s of Mosaic compile on a 320-tile
+    buffer — so the relayout lives in its own tiny kernel instead of a
+    copy phase inside the gather grid.)"""
+
+    def kern(xin_ref, out_ref):
+        for j in range(8):
+            out_ref[:, j * 128:(j + 1) * 128] = xin_ref[j * 8:(j + 1) * 8, :]
+
+    return pl.pallas_call(
+        kern,
+        grid=(Rb,),
+        in_specs=[pl.BlockSpec((64, 128), lambda k: (k, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 1024), lambda k: (0, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Rb * 1024), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def _oneshot_kernel(fmt: StreamFormat3):
+    """Single-pass TrSpMV over grid (T,): the chain's lane-dynamic
+    two-take gather against the (8, Lx) tile-interleaved x input
+    (held whole in VMEM), storing each chunk's totals slot-major."""
+    ns, nv = fmt.ns, fmt.ng // 128
+    NW = fmt.nwin
+    C = len(fmt.ws)
+    has_scan = fmt.has_scan
+
+    def kernel(xtn_ref, alpha_ref, nslots_ref, straddle_ref, *rest):
+        k = 0
+        meta_ref = rest[k]; k += 1
+        gseg_ref = ends_ref = None
+        if has_scan:
+            gseg_ref, ends_ref = rest[k], rest[k + 1]; k += 2
+        val_refs = rest[k:k + C]; k += C
+        xin_ref = rest[k]; k += 1
+        out_ref, carry = rest[k], rest[k + 1]
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            carry[...] = jnp.zeros_like(carry)
+
+        meta = meta_ref[...]
+        lo = jax.lax.bitwise_and(meta, jnp.int32(127))
+        dwin = jax.lax.bitwise_and(
+            jax.lax.shift_right_logical(meta, jnp.int32(7)), jnp.int32(7)
+        )
+        alpha = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(alpha_ref[0], (1, 1)), jnp.float32)
+
+        def class_body(c):
+            w = fmt.ws[c]
+            val_ref = val_refs[c]
+
+            def fetch_base(v_, dd):
+                return xtn_ref[(t * nv + v_) * NW + dd]
+
+            def fetch_win(b):
+                return xin_ref[:, pl.ds(pl.multiple_of(b, 128), 128)]
+
+            red = _gather_reduce(fmt, c, meta, lo, dwin, fetch_base,
+                                 fetch_win, val_ref, nv)
+            tot = _segscan_carry(fmt, c, red, gseg_ref, ends_ref,
+                                 nslots_ref, straddle_ref, carry, t,
+                                 alpha)
+            if w < 8:
+                tot8 = jnp.concatenate(
+                    [tot, jnp.zeros((8 - w, ns), jnp.float32)], axis=0)
+            else:
+                tot8 = tot
+            # natural: (ns, 8) transposed store, flat out IS natural y
+            # (costs ~25 us/call in 8-of-128-lane DMA efficiency, but
+            # every attempted lane-major alternative needs an 8x8
+            # sublane-lane interleave Mosaic cannot express: the Clos
+            # router needs 8 windows/vreg, take-chains cannot bind the
+            # output sublane into the lane index, and strided slices /
+            # rank-3 reshapes fail to lower); non-natural: sublane-
+            # major + the exit Clos permute
+            out_ref[...] = tot8.T if fmt.natural else tot8
+
+        for c in range(C):
+            if C == 1:
+                class_body(c)
+            else:
+                pl.when((t >= fmt.offs[c]) & (t < fmt.offs[c + 1]))(
+                    lambda c=c: class_body(c))
+
+    return kernel
+
+
+def _oneshot_call(fmt: StreamFormat3, Rb: int):
+    T = fmt.num_chunks
+    ng, ns = fmt.ng, fmt.ns
+    in_specs = [
+        pl.BlockSpec((8, ng), lambda t, *_: (0, t),
+                     memory_space=pltpu.VMEM),
+    ]
+    if fmt.has_scan:
+        in_specs += [
+            pl.BlockSpec((1, ng), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns), lambda t, *_: (0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+    for c, w in enumerate(fmt.ws):
+        off, Tc = fmt.offs[c], fmt.offs[c + 1] - fmt.offs[c]
+        in_specs.append(
+            pl.BlockSpec(
+                (8 * w, ng),
+                (lambda off=off, Tc=Tc: (
+                    lambda t, *_: (0, jnp.clip(t - off, 0, Tc - 1))
+                ))(),
+                memory_space=pltpu.VMEM,
+            ))
+    in_specs.append(
+        pl.BlockSpec((8, Rb * 1024), lambda t, *_: (0, 0),
+                     memory_space=pltpu.VMEM))
+    if fmt.natural:
+        out_spec = pl.BlockSpec((ns, 8), lambda t, *_: (t, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T * ns, 8), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _oneshot_kernel(fmt),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
+                     alpha=None) -> jax.Array:
+    """y = alpha * A.T @ x in two kernel passes for ``mode="nat"``
+    formats: a tiny tile-relayout kernel turns the padded natural x
+    (a pure reshape) into the (8, Lx) tile-interleaved buffer, then
+    the gather grid reads it whole from VMEM; y exits through the
+    usual slot-major reshape/Clos permute.  This is the per-call op
+    the reference benchmarks (``bin/test_table.jl:80``)."""
+    assert fmt.entry_mode == "reshape", "pack with mode='nat'"
+    a = jnp.asarray(1.0 if alpha is None else alpha, jnp.float32)
+    alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
+    R = -(-fmt.m // 1024)
+    Rb = -(-R // 8)
+    xp = jnp.zeros(Rb * 8192, jnp.float32).at[: fmt.m].set(
+        x.astype(jnp.float32))
+    xin = _tile_relayout_call(Rb)(xp.reshape(Rb * 64, 128))
+    args = [fmt.meta_nat]
+    if fmt.has_scan:
+        args += [fmt.gseg, fmt.ends]
+    args += list(fmt.vals)
+    out = _oneshot_call(fmt, Rb)(
+        fmt.xtile_nat, alpha_bits, fmt.nslots, fmt.straddle, *args, xin)
+    return exit3(fmt, out)
+
+
 def entry3(fmt: StreamFormat3, x: jax.Array) -> jax.Array:
     """Natural x [m] -> the (8, X) iteration-0 buffer.
 
@@ -1016,13 +1231,15 @@ def entry3(fmt: StreamFormat3, x: jax.Array) -> jax.Array:
 
 
 def exit3(fmt: StreamFormat3, out: jax.Array) -> jax.Array:
-    """Kernel output (T*NS, 8) slot-major -> natural y [n]."""
+    """Kernel output -> natural y [n].  Chain natural formats store
+    (T*NS, 8) slot-major (flat IS natural y); everything else stores
+    (8, T*NS) sublane-major and exits through the Clos permute."""
     flat = out.reshape(-1)
-    if fmt.natural:
-        return flat[: fmt.n]
     if fmt.exit_plan is not None:
         return wg.apply_permute(fmt.exit_plan, flat)
-    return flat[fmt.exit_idx]
+    if fmt.exit_idx is not None:
+        return flat[fmt.exit_idx]
+    return flat[: fmt.n]
 
 
 def tr_spmv_chain3(fmt: StreamFormat3, x: jax.Array, n_iters: int = 1,
@@ -1038,6 +1255,8 @@ def tr_spmv_chain3(fmt: StreamFormat3, x: jax.Array, n_iters: int = 1,
     Clos-routed Pallas permute.
     """
     assert n_iters >= 1
+    assert fmt.entry_mode != "reshape", \
+        "mode='nat' formats are one-shot only (tr_spmv_oneshot3)"
     a = jnp.asarray(1.0 if alpha is None else alpha, jnp.float32)
     alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
     xin = entry3(fmt, x)

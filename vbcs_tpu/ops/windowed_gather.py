@@ -31,7 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["PermutePlan", "pack_permute", "apply_permute"]
+__all__ = ["PermutePlan", "pack_permute", "apply_permute",
+           "pad_plan_windows"]
 
 CO = 8192  # output elements per grid step (8 vregs of 1024)
 NV = 8  # vregs per chunk
@@ -151,6 +152,30 @@ def _pack_ladder(perm: np.ndarray, src_len: int) -> PermutePlan | None:
             valid=valid,
         )
     )
+
+
+def pad_plan_windows(plan, wblk_new: int):
+    """Pad a plan's window count to ``wblk_new`` (no-op when already
+    there).  Padded windows are never selected — ClosPlan's WID /
+    PermutePlan's window-id field only reference real windows — and
+    their bases alias window 0 (in-bounds).  Used to shape-normalize
+    per-device plans so they stack into one [D, ...] pytree for
+    ``shard_map``."""
+    if plan is None or plan.wblk == wblk_new:
+        return plan
+    assert plan.wblk < wblk_new
+    nseg = plan.num_chunks * NV
+    xt = np.asarray(plan.xtile).reshape(nseg, plan.wblk)
+    xt2 = np.concatenate(
+        [xt, np.repeat(xt[:, :1], wblk_new - plan.wblk, axis=1)], axis=1
+    ).reshape(-1)
+    if isinstance(plan, ClosPlan):
+        meta = np.asarray(plan.meta)
+        pad = np.zeros((wblk_new - plan.wblk,) + meta.shape[1:], meta.dtype)
+        return dataclasses.replace(
+            plan, wblk=wblk_new, xtile=jnp.asarray(xt2),
+            meta=jnp.asarray(np.concatenate([meta, pad], axis=0)))
+    return dataclasses.replace(plan, wblk=wblk_new, xtile=jnp.asarray(xt2))
 
 
 def _permute_kernel(wblk: int):

@@ -89,7 +89,7 @@ class ShardedV1Class:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["classes", "fallback", "y_perm", "y_plan"],
+    data_fields=["classes", "fallback", "fb_gather", "y_perm", "y_plan"],
     meta_fields=["m", "n", "ndev", "slots_per_dev"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -102,6 +102,10 @@ class ShardedStream:
     fallback: tuple  # ShardedV1Class (empty when all classes are local)
     y_perm: jax.Array  # [n] int32 into the [D * slots_per_dev] layout
     y_plan: object  # PermutePlan or None
+    # per fallback class: a [D, ...]-stacked Clos/windowed plan gathering
+    # x at the device's own block rows (or None -> XLA gather fallback);
+    # same role as StreamFormat2.fb_gather on one chip
+    fb_gather: tuple = ()
 
 
 def _split_ranges(T: int, straddle: np.ndarray, ndev: int):
@@ -278,6 +282,23 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
             )
         )
 
+    # per-device Clos pre-gather plans for the fallback classes (the
+    # XLA gather they'd otherwise use runs ~per-element on this
+    # backend, ops/windowed_gather.py:3-5); shape-normalized via
+    # pad_plan_windows so the D plans stack into one sharded pytree
+    fb_gathers = []
+    for c_new in fb_out:
+        rows = np.asarray(c_new.row)  # [D, Td*cq]
+        plans = [wg.pack_permute(rows[d], fmt.m) for d in range(ndev)]
+        if any(p is None for p in plans) or len(
+                {type(p) for p in plans}) > 1:
+            fb_gathers.append(None)
+            continue
+        wb = max(p.wblk for p in plans)
+        plans = [wg.pad_plan_windows(p, wb) for p in plans]
+        fb_gathers.append(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *plans))
+
     y_plan = wg.pack_permute(y_perm_new, max(1, ndev * slots_per_dev))
     return ShardedStream(
         m=fmt.m,
@@ -288,6 +309,7 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
         fallback=tuple(fb_out),
         y_perm=y_perm_new.astype(np.int32),
         y_plan=y_plan,
+        fb_gather=tuple(fb_gathers),
     )
 
 
@@ -331,6 +353,12 @@ def place(sfmt: ShardedStream, mesh: Mesh, axis: str = "d") -> ShardedStream:
         )
         if sfmt.y_plan is not None
         else None,
+        fb_gather=tuple(
+            jax.tree.map(lambda _: P(axis), g,
+                         is_leaf=lambda x: hasattr(x, "dtype"))
+            if g is not None else None
+            for g in sfmt.fb_gather
+        ),
     )
     shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s),
@@ -347,7 +375,7 @@ def dist_tr_spmv_pallas(
 
     from ..ops import pallas_trspmv as pk1
 
-    def local(cls_shards, fb_shards, x_rep):
+    def local(cls_shards, fb_shards, fb_plans, x_rep):
         outs = []
         for c in cls_shards:
             local_cls = pk2.StreamClass2(
@@ -368,7 +396,7 @@ def dist_tr_spmv_pallas(
             x2d = pk2._x_2d(x_rep, sfmt.m)
             out = pk2._run_class2(local_cls, x2d)  # flat slot-major
             outs.append(out)
-        for c in fb_shards:
+        for c, gp in zip(fb_shards, fb_plans):
             local_v1 = pk1.StreamClass(
                 w=c.w,
                 cq=c.cq,
@@ -380,7 +408,12 @@ def dist_tr_spmv_pallas(
                 s_last=c.s_last[0],
                 straddle=c.straddle[0],
             )
-            xg_fb = x_rep.astype(jnp.float32)[local_v1.row]
+            if gp is not None:
+                # Clos pre-gather (arrays sliced to this device's plan)
+                gl = jax.tree.map(lambda a: a[0], gp)
+                xg_fb = wg.apply_permute(gl, x_rep)
+            else:
+                xg_fb = x_rep.astype(jnp.float32)[local_v1.row]
             out = pk1._run_class(local_v1, xg_fb)  # [w, Td*NS]
             outs.append(out.T.reshape(-1))
         return jnp.concatenate(outs)[None, :]  # [1, slots_per_dev]
@@ -401,13 +434,19 @@ def dist_tr_spmv_pallas(
         )
         for c in sfmt.fallback
     )
+    fbg_specs = tuple(
+        jax.tree.map(lambda _: P(axis), g,
+                     is_leaf=lambda x_: hasattr(x_, "dtype"))
+        if g is not None else None
+        for g in sfmt.fb_gather
+    )
     slots = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(class_specs, fb_specs, P()),
+        in_specs=(class_specs, fb_specs, fbg_specs, P()),
         out_specs=P(axis),
         check_vma=False,  # pallas_call outputs carry no vma annotation
-    )(sfmt.classes, sfmt.fallback, x)
+    )(sfmt.classes, sfmt.fallback, sfmt.fb_gather, x)
     flat = slots.reshape(-1)
     if sfmt.y_plan is not None:
         return wg.apply_permute(sfmt.y_plan, flat)
@@ -510,7 +549,8 @@ def dist_tr_spmv_pallas_halo(
 
     from ..ops import pallas_trspmv as pk1
 
-    def local(cls_shards, fb_shards, xt_locals, x_shard, send_idx):
+    def local(cls_shards, fb_shards, fb_plans, xt_locals, x_shard,
+              send_idx):
         own = x_shard[0]  # [tpd*8, 128]
         tiles = own.reshape(tpd, 1024)
         send = tiles[send_idx[0]]  # [D*H, 1024]
@@ -538,18 +578,24 @@ def dist_tr_spmv_pallas_halo(
             outs.append(pk2._run_class2(local_cls, x2d))
         if fb_shards:
             # non-local classes: the halo set is the whole vector, so
-            # an all-gather (replication) is the right communication
+            # an all-gather (replication) is the right communication;
+            # the per-row gather itself rides the Clos permute kernel
             x_full = jax.lax.all_gather(
                 x_shard[0], axis, axis=0, tiled=True
             ).reshape(-1)[: sfmt.m]
-            for c in fb_shards:
+            for c, gp in zip(fb_shards, fb_plans):
                 local_v1 = pk1.StreamClass(
                     w=c.w, cq=c.cq, num_chunks=c.chunks_per_dev,
                     num_stripes=0, val_t=c.val_t[0], row=c.row[0],
                     seg_rel=c.seg_rel[0], s_last=c.s_last[0],
                     straddle=c.straddle[0],
                 )
-                out = pk1._run_class(local_v1, x_full[local_v1.row])
+                if gp is not None:
+                    gl = jax.tree.map(lambda a: a[0], gp)
+                    xg_fb = wg.apply_permute(gl, x_full)
+                else:
+                    xg_fb = x_full[local_v1.row]
+                out = pk1._run_class(local_v1, xg_fb)
                 outs.append(out.T.reshape(-1))
         return jnp.concatenate(outs)[None, :]
 
@@ -561,14 +607,22 @@ def dist_tr_spmv_pallas_halo(
         jax.tree.map(lambda _: P(axis), c, is_leaf=lambda x_: hasattr(x_, "dtype"))
         for c in sfmt.fallback
     )
+    fbg_specs = tuple(
+        jax.tree.map(lambda _: P(axis), g,
+                     is_leaf=lambda x_: hasattr(x_, "dtype"))
+        if g is not None else None
+        for g in sfmt.fb_gather
+    )
     xt_specs = tuple(P(axis) for _ in halo.xtile_local)
     slots = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(class_specs, fb_specs, xt_specs, P(axis), P(axis)),
+        in_specs=(class_specs, fb_specs, fbg_specs, xt_specs, P(axis),
+                  P(axis)),
         out_specs=P(axis),
         check_vma=False,
-    )(sfmt.classes, sfmt.fallback, halo.xtile_local, xg, halo.send_idx)
+    )(sfmt.classes, sfmt.fallback, sfmt.fb_gather, halo.xtile_local, xg,
+      halo.send_idx)
     flat = slots.reshape(-1)
     if sfmt.y_plan is not None:
         return wg.apply_permute(sfmt.y_plan, flat)
