@@ -166,6 +166,19 @@ def scattered_matrix():
                      format="csc").astype(np.float32)
 
 
+def stream_gbytes(fmt, which: str) -> int:
+    """Per-call HBM bytes of a StreamFormat3's value+metadata streams
+    (the traffic the kernel actually re-reads every iteration)."""
+    b = sum(int(np.prod(vv.shape)) * 4 for vv in fmt.vals)
+    meta = fmt.meta_nat if which == "nat" else fmt.meta_slot
+    b += int(meta.size) * 4
+    if fmt.has_scan:
+        b += int(fmt.gseg.size) * 4 + int(fmt.ends.size) * 4
+    xt = fmt.xtile_nat if which == "nat" else fmt.xtile_slot
+    b += int(xt.size) * 4
+    return b
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -232,12 +245,12 @@ def main():
         state.update(A=A, B=B, fmt_o=fmt_o, fmt_c=fmt_c, x=x)
         result["nnz"] = int(A.nnz)
         # one-shot roofline: values + metadata + x + y (the whole
-        # per-call HBM stream); chain roofline: values + metadata only
-        stream_bytes = sum(int(np.prod(vv.shape)) * 4 for vv in fmt_o.vals) \
-            + fmt_o.meta_nat.size * 4
+        # per-call HBM stream); chain roofline: the chain format's own
+        # values + metadata (each format's streams differ — slot-only
+        # matching shrinks the chain meta)
         xy_bytes = 2 * A.shape[0] * 4
-        state["oneshot_bytes"] = stream_bytes + xy_bytes
-        state["chain_bytes"] = stream_bytes
+        state["oneshot_bytes"] = stream_gbytes(fmt_o, "nat") + xy_bytes
+        state["chain_bytes"] = stream_gbytes(fmt_c, "slot")
         result["roofline_gnnz_s"] = round(
             A.nnz / (state["oneshot_bytes"] / bw) / 1e9, 2)
         result["chain_roofline_gnnz_s"] = round(
@@ -347,6 +360,9 @@ def main():
             jax.block_until_ready(fmt_o.vals)
             t = periter(mk_oneshot_loop(fmt_o, xf), 20, 220, reps=6)
             result["fem_oneshot_gnnz_s"] = round(Af.nnz / t / 1e9, 2)
+            fo_bytes = stream_gbytes(fmt_o, "nat") + 2 * Af.shape[0] * 4
+            result["fem_oneshot_vs_roofline"] = round(
+                (Af.nnz / t) / (Af.nnz / (fo_bytes / bw)), 3)
         t0 = time.perf_counter()
         fmt_c = op._pallas_tr_chain()
         result["fem_pack_chain_s"] = round(time.perf_counter() - t0, 2)
@@ -360,9 +376,7 @@ def main():
 
             t = periter(mkc, 200, 2000, reps=3)
             result["fem_chain_gnnz_s"] = round(Af.nnz / t / 1e9, 2)
-            fem_bytes = sum(
-                int(np.prod(vv.shape)) * 4 for vv in fmt_c.vals) \
-                + fmt_c.meta_nat.size * 4
+            fem_bytes = stream_gbytes(fmt_c, "slot")
             result["fem_chain_vs_roofline"] = round(
                 (Af.nnz / t) / (Af.nnz / (fem_bytes / bw)), 3)
 

@@ -81,3 +81,12 @@ def test_spmm3_basis_columns_bitwise():
     Ad = A.toarray().astype(np.float32)
     for j in range(8):
         np.testing.assert_array_equal(Y[:, j], Ad[j * 31, :])
+
+
+def test_spmm3_k128_default_kt():
+    """Config-4 shape: k=128 RHS through the shipped default KT=32
+    (the bench's SpMM row; neither was covered before)."""
+    A = banded(512, 512, 6, 40, seed=11)
+    fmt = check(A, 8, v.EquiChunker(8), k=128, kt=sm3.KT)
+    assert sm3.KT == 32
+    assert fmt.natural

@@ -643,8 +643,11 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
               else None)
     dual = result is not None
     if not dual:
-        # phase 2: single-target (slot, or nat for the one-shot)
-        result = try_pack(False, 6)
+        # phase 2: single-target (slot, or nat for the one-shot).
+        # 20 reflow rounds: mixed-width DP plans (e.g. min-blocks on an
+        # RCM'd FEM: 12.5k w=8 stripes + 7 thin classes) converge
+        # slowly because re-layout shifts every class's slot lanes
+        result = try_pack(False, 20)
         if result is None:
             return None
     lay, packed = result
@@ -724,6 +727,11 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
         eidx = (slot_sub * (T * ns) + slot_lane).astype(np.int64)
         exit_idx = eidx.astype(np.int32)
         exit_plan = wg.pack_permute(eidx, T * ns * 8)
+        if exit_plan is None:
+            # escalate the window cap before surrendering to the XLA
+            # gather (measured ~40x slower than a 7-window Clos apply
+            # on the RCM'd FEM exit map)
+            exit_plan = wg.pack_clos(eidx, T * ns * 8, max_w=MAX_NWIN)
         exit_wi = slot_sub.astype(np.int32)
         exit_lane = slot_lane.astype(np.int32)
 
@@ -1109,15 +1117,13 @@ def _oneshot_kernel(fmt: StreamFormat3):
                     [tot, jnp.zeros((8 - w, ns), jnp.float32)], axis=0)
             else:
                 tot8 = tot
-            # natural: (ns, 8) transposed store, flat out IS natural y
-            # (costs ~25 us/call in 8-of-128-lane DMA efficiency, but
-            # every attempted lane-major alternative needs an 8x8
-            # sublane-lane interleave Mosaic cannot express: the Clos
-            # router needs 8 windows/vreg, take-chains cannot bind the
-            # output sublane into the lane index, and strided slices /
-            # rank-3 reshapes fail to lower); non-natural: sublane-
-            # major + the exit Clos permute
-            out_ref[...] = tot8.T if fmt.natural else tot8
+            # one-shot always stores sublane-major (8, ns): full-lane
+            # DMA.  (The chain's (ns, 8) transposed store costs ~25
+            # us/call in 8-of-128-lane efficiency — fine once per
+            # chain, ruinous per call.)  Natural formats exit through
+            # one XLA transpose (measured 1.7 us on (8, 40960));
+            # non-natural through the exit Clos permute.
+            out_ref[...] = tot8
 
         for c in range(C):
             if C == 1:
@@ -1129,7 +1135,7 @@ def _oneshot_kernel(fmt: StreamFormat3):
     return kernel
 
 
-def _oneshot_call(fmt: StreamFormat3, Rb: int):
+def _oneshot_call(fmt: StreamFormat3, xin_lanes: int):
     T = fmt.num_chunks
     ng, ns = fmt.ng, fmt.ns
     in_specs = [
@@ -1154,16 +1160,11 @@ def _oneshot_call(fmt: StreamFormat3, Rb: int):
                 memory_space=pltpu.VMEM,
             ))
     in_specs.append(
-        pl.BlockSpec((8, Rb * 1024), lambda t, *_: (0, 0),
+        pl.BlockSpec((8, xin_lanes), lambda t, *_: (0, 0),
                      memory_space=pltpu.VMEM))
-    if fmt.natural:
-        out_spec = pl.BlockSpec((ns, 8), lambda t, *_: (t, 0),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((T * ns, 8), jnp.float32)
-    else:
-        out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
-                                memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
+    out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
@@ -1186,23 +1187,46 @@ def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
     """y = alpha * A.T @ x in two kernel passes for ``mode="nat"``
     formats: a tiny tile-relayout kernel turns the padded natural x
     (a pure reshape) into the (8, Lx) tile-interleaved buffer, then
-    the gather grid reads it whole from VMEM; y exits through the
-    usual slot-major reshape/Clos permute.  This is the per-call op
-    the reference benchmarks (``bin/test_table.jl:80``)."""
-    assert fmt.entry_mode == "reshape", "pack with mode='nat'"
+    the gather grid reads it whole from VMEM; y exits through one XLA
+    transpose (natural formats) or the Clos permute.  This is the
+    per-call op the reference benchmarks (``bin/test_table.jl:80``).
+
+    Accepts BOTH pack modes.  ``mode="nat"`` formats gather from the
+    tile-interleaved natural buffer (free relayout in, but the natural
+    A-tables typically need more windows — measured nwin=4 vs the slot
+    mode's 1-2 on the banded flagship, and the gather is compute-
+    bound at ~50 ns/window/group).  Slot-mode (chain) formats gather
+    from the (8, X) slot buffer the chain itself uses: x enters via
+    ``entry3`` (an XLA transpose for natural formats, one Clos permute
+    otherwise) and the fewer windows make the grid faster — so the
+    chain format doubles as the fast per-call format, one pack."""
     a = jnp.asarray(1.0 if alpha is None else alpha, jnp.float32)
     alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
-    R = -(-fmt.m // 1024)
-    Rb = -(-R // 8)
-    xp = jnp.zeros(Rb * 8192, jnp.float32).at[: fmt.m].set(
-        x.astype(jnp.float32))
-    xin = _tile_relayout_call(Rb)(xp.reshape(Rb * 64, 128))
-    args = [fmt.meta_nat]
+    if fmt.entry_mode == "reshape":
+        R = -(-fmt.m // 1024)
+        Rb = -(-R // 8)
+        xp = jnp.zeros(Rb * 8192, jnp.float32).at[: fmt.m].set(
+            x.astype(jnp.float32))
+        xin = _tile_relayout_call(Rb)(xp.reshape(Rb * 64, 128))
+        meta, xtile, lanes = fmt.meta_nat, fmt.xtile_nat, Rb * 1024
+    elif fmt.entry_mode == "tile":
+        # dual-meta format: iteration-0 meta targets the tile buffer
+        xin = entry3(fmt, x)
+        meta, xtile, lanes = fmt.meta_nat, fmt.xtile_nat, fmt.X
+    else:
+        xin = entry3(fmt, x)  # (8, X) slot buffer
+        meta, xtile, lanes = fmt.meta_slot, fmt.xtile_slot, fmt.X
+    args = [meta]
     if fmt.has_scan:
         args += [fmt.gseg, fmt.ends]
     args += list(fmt.vals)
-    out = _oneshot_call(fmt, Rb)(
-        fmt.xtile_nat, alpha_bits, fmt.nslots, fmt.straddle, *args, xin)
+    out = _oneshot_call(fmt, lanes)(
+        xtile, alpha_bits, fmt.nslots, fmt.straddle, *args, xin)
+    if fmt.natural:
+        # sublane-major (8, T*ns) store -> natural y is one XLA
+        # transpose (~1.7 us); the chain's in-kernel (ns, 8) store
+        # costs ~25 us/call in 8-of-128-lane DMA efficiency
+        return out.T.reshape(-1)[: fmt.n]
     return exit3(fmt, out)
 
 

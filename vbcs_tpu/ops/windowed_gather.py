@@ -212,7 +212,7 @@ def apply_permute(plan, src: jax.Array) -> jax.Array:
     if isinstance(plan, ClosPlan):
         return apply_clos(plan, src)
     T, wblk = plan.num_chunks, plan.wblk
-    rows = -(-plan.src_len // 1024) * 8 + 8 * MAX_WBLK
+    rows = -(-plan.src_len // 1024) * 8 + 8 * max(MAX_WBLK, wblk)
     sp = jnp.zeros(rows * 128, jnp.float32).at[: plan.src_len].set(
         src.astype(jnp.float32)
     )
@@ -490,7 +490,7 @@ def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
     """``layout="flat"``: out[i] = src[perm[i]] (f32), shape [n_out].
     ``layout="2d"``: the (8, T*1024) buffer with out[s, l] = src[perm2d[s, l]]."""
     T, wblk = plan.num_chunks, plan.wblk
-    rows = -(-plan.src_len // 1024) * 8 + 8 * MAX_WBLK
+    rows = -(-plan.src_len // 1024) * 8 + 8 * max(MAX_WBLK, wblk)
     sp = jnp.zeros(rows * 128, jnp.float32).at[: plan.src_len].set(
         src.astype(jnp.float32)
     )
