@@ -64,6 +64,22 @@ def test_natural_uniform8():
     assert not fmt.has_straddle
 
 
+def test_natural_multivreg_store():
+    # m large enough that the padded-natural exit store writes every
+    # output vreg lane-block (cc > 0) of multiple chunks — guards the
+    # per-vreg shuffle's index arithmetic (a cc=0-only bug passed the
+    # small tests)
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import blocky_matrix
+
+    A = blocky_matrix(L=2048, w=8, d=8, band=300, seed=21).astype(np.float64)
+    fmt = check_oneshot(A, 8, v.EquiChunker(8), expect_natural=True)
+    assert fmt.num_chunks >= 2
+
+
 def test_alpha_fused():
     A = banded(1024, 1024, 6, 50, seed=2)
     check_oneshot(A, 8, v.EquiChunker(8), alpha=0.25)

@@ -1064,14 +1064,27 @@ def _tile_relayout_call(Rb: int):
     )
 
 
-def _oneshot_kernel(fmt: StreamFormat3):
+def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0):
     """Single-pass TrSpMV over grid (T,): the chain's lane-dynamic
-    two-take gather against the (8, Lx) tile-interleaved x input
-    (held whole in VMEM), storing each chunk's totals slot-major."""
+    two-take gather against the x input held whole in VMEM.
+
+    ``nat_rows > 0`` (mode="nat" formats): x arrives PADDED NATURAL as
+    ``(nat_rows, 128)`` — rows ``[8q : 8q+8]`` ARE the tile-interleaved
+    (8, 128) window of elements ``[1024q, 1024q+1024)`` (element r sits
+    at row ``r>>7``, lane ``r&127``), so windows are dynamic SUBLANE
+    slices and no relayout kernel or XLA transpose ever runs.  Natural
+    formats also STORE padded-natural ``(64, 128)`` blocks via a
+    constant-index intra-vreg shuffle (chunk t's totals are exactly
+    y[8192t : 8192(t+1)]), making natural-in -> natural-out free of
+    layout passes; iterated calls compose with zero data movement.
+
+    ``nat_rows == 0``: x is the (8, X) slot buffer (windows = lane
+    slices) and output stores sublane-major (8, ns) for the Clos exit."""
     ns, nv = fmt.ns, fmt.ng // 128
     NW = fmt.nwin
     C = len(fmt.ws)
     has_scan = fmt.has_scan
+    nat_store = nat_rows > 0 and fmt.natural
 
     def kernel(xtn_ref, alpha_ref, nslots_ref, straddle_ref, *rest):
         k = 0
@@ -1083,7 +1096,7 @@ def _oneshot_kernel(fmt: StreamFormat3):
         xin_ref = rest[k]; k += 1
         out_ref, carry = rest[k], rest[k + 1]
 
-        t = pl.program_id(0)
+        t = pl.program_id(grid_axis)
 
         @pl.when(t == 0)
         def _init():
@@ -1104,8 +1117,15 @@ def _oneshot_kernel(fmt: StreamFormat3):
             def fetch_base(v_, dd):
                 return xtn_ref[(t * nv + v_) * NW + dd]
 
-            def fetch_win(b):
-                return xin_ref[:, pl.ds(pl.multiple_of(b, 128), 128)]
+            if nat_rows > 0:
+                def fetch_win(b):
+                    # b = 128*q -> rows [8q : 8q+8] of the padded
+                    # natural input are the (8, 128) window
+                    r0 = jax.lax.shift_right_logical(b, jnp.int32(4))
+                    return xin_ref[pl.ds(pl.multiple_of(r0, 8), 8), :]
+            else:
+                def fetch_win(b):
+                    return xin_ref[:, pl.ds(pl.multiple_of(b, 128), 128)]
 
             red = _gather_reduce(fmt, c, meta, lo, dwin, fetch_base,
                                  fetch_win, val_ref, nv)
@@ -1117,13 +1137,42 @@ def _oneshot_kernel(fmt: StreamFormat3):
                     [tot, jnp.zeros((8 - w, ns), jnp.float32)], axis=0)
             else:
                 tot8 = tot
-            # one-shot always stores sublane-major (8, ns): full-lane
-            # DMA.  (The chain's (ns, 8) transposed store costs ~25
-            # us/call in 8-of-128-lane efficiency — fine once per
-            # chain, ruinous per call.)  Natural formats exit through
-            # one XLA transpose (measured 1.7 us on (8, 40960));
-            # non-natural through the exit Clos permute.
-            out_ref[...] = tot8
+            if nat_store:
+                # padded-natural (ns/16, 128) store: chunk t's totals
+                # are exactly y[8*ns*t : 8*ns*(t+1)] and
+                # y_local[128a + 8k + wi] = tot8[wi, 16a + k].  Done
+                # in-VMEM as (1) a constant lane permute
+                # idx1[j] = 16*(j&7) + (j>>3), then (2) an 8x8
+                # transpose of every aligned 8-lane tile (sublane i <->
+                # lane&7) via 3 Eklundh butterfly stages (roll+select;
+                # lane-XOR moves never cross a tile), then (3) static
+                # (8,128) stores to rows [8c : 8c+8].  ~19 vector ops
+                # per vreg, full-lane output DMA — replaces the XLA
+                # (8, N) transpose that measured ~37 us/call fused
+                # with the next call's pad.
+                lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                idx1 = (16 * jax.lax.bitwise_and(lane_i, jnp.int32(7))
+                        + jax.lax.shift_right_logical(lane_i, jnp.int32(3)))
+                masks = []
+                for s in (4, 2, 1):
+                    a_sw = (jax.lax.bitwise_and(sub_i, jnp.int32(s)) == 0) & (
+                        jax.lax.bitwise_and(lane_i, jnp.int32(s)) != 0)
+                    b_sw = (jax.lax.bitwise_and(sub_i, jnp.int32(s)) != 0) & (
+                        jax.lax.bitwise_and(lane_i, jnp.int32(s)) == 0)
+                    masks.append((s, a_sw, b_sw))
+                for cc in range(ns // 128):
+                    u = jnp.take_along_axis(
+                        tot8[:, 128 * cc:128 * (cc + 1)], idx1, axis=1)
+                    for s, a_sw, b_sw in masks:
+                        ua = pltpu.roll(pltpu.roll(u, 8 - s, 0), s, 1)
+                        ub = pltpu.roll(pltpu.roll(u, s, 0), 128 - s, 1)
+                        u = jnp.where(a_sw, ua, jnp.where(b_sw, ub, u))
+                    out_ref[8 * cc:8 * (cc + 1), :] = u
+            else:
+                # sublane-major (8, ns): full-lane DMA; exits through
+                # the Clos permute (non-natural) or an XLA transpose
+                out_ref[...] = tot8
 
         for c in range(C):
             if C == 1:
@@ -1135,9 +1184,10 @@ def _oneshot_kernel(fmt: StreamFormat3):
     return kernel
 
 
-def _oneshot_call(fmt: StreamFormat3, xin_lanes: int):
+def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0):
     T = fmt.num_chunks
     ng, ns = fmt.ng, fmt.ns
+    nat_store = nat_rows > 0 and fmt.natural
     in_specs = [
         pl.BlockSpec((8, ng), lambda t, *_: (0, t),
                      memory_space=pltpu.VMEM),
@@ -1159,12 +1209,23 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int):
                 ))(),
                 memory_space=pltpu.VMEM,
             ))
-    in_specs.append(
-        pl.BlockSpec((8, xin_lanes), lambda t, *_: (0, 0),
-                     memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
+    if nat_rows > 0:
+        in_specs.append(
+            pl.BlockSpec((nat_rows, 128), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(
+            pl.BlockSpec((8, xin_lanes), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM))
+    if nat_store:
+        rows_c = ns * 8 // 128
+        out_spec = pl.BlockSpec((rows_c, 128), lambda t, *_: (t, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T * rows_c, 128), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(T,),
@@ -1173,7 +1234,7 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int):
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
     )
     return pl.pallas_call(
-        _oneshot_kernel(fmt),
+        _oneshot_kernel(fmt, nat_rows),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1202,12 +1263,14 @@ def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
     chain format doubles as the fast per-call format, one pack."""
     a = jnp.asarray(1.0 if alpha is None else alpha, jnp.float32)
     alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
+    nat_rows = 0
     if fmt.entry_mode == "reshape":
         R = -(-fmt.m // 1024)
         Rb = -(-R // 8)
+        nat_rows = Rb * 64
         xp = jnp.zeros(Rb * 8192, jnp.float32).at[: fmt.m].set(
             x.astype(jnp.float32))
-        xin = _tile_relayout_call(Rb)(xp.reshape(Rb * 64, 128))
+        xin = xp.reshape(nat_rows, 128)  # rows [8q:8q+8] = window q
         meta, xtile, lanes = fmt.meta_nat, fmt.xtile_nat, Rb * 1024
     elif fmt.entry_mode == "tile":
         # dual-meta format: iteration-0 meta targets the tile buffer
@@ -1220,12 +1283,14 @@ def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
     if fmt.has_scan:
         args += [fmt.gseg, fmt.ends]
     args += list(fmt.vals)
-    out = _oneshot_call(fmt, lanes)(
+    out = _oneshot_call(fmt, lanes, nat_rows)(
         xtile, alpha_bits, fmt.nslots, fmt.straddle, *args, xin)
+    if nat_rows > 0 and fmt.natural:
+        # padded-natural (T*64, 128) store: flat IS natural y
+        return out.reshape(-1)[: fmt.n]
     if fmt.natural:
         # sublane-major (8, T*ns) store -> natural y is one XLA
-        # transpose (~1.7 us); the chain's in-kernel (ns, 8) store
-        # costs ~25 us/call in 8-of-128-lane DMA efficiency
+        # transpose; only slot/tile formats reach this
         return out.T.reshape(-1)[: fmt.n]
     return exit3(fmt, out)
 
