@@ -296,10 +296,32 @@ def main():
         A2 = blocky2d_matrix()
         B2 = v.vbc2d(v.CSC.from_scipy(A2), 4, 8,
                      AlternatingPacker(EquiChunker(8), EquiChunker(4)))
-        bundle = pk2d.pack_stream_vbc2d(B2)
         x2 = jnp.asarray(
             np.random.default_rng(2).standard_normal(A2.shape[0]),
             jnp.float32)
+        # the 2-D operator's per-call path: v3 exact two-take gather on
+        # the 1-D view (VBC2DOperator.tr_mul does exactly this); the
+        # dedicated u-blocked kernel stays as the fallback + SpMM tiles
+        fmt3_2d = pk3.pack_stream3(B2.to_1d_view(), mode="nat")
+        if fmt3_2d is not None:
+            jax.block_until_ready(fmt3_2d.vals)
+
+            def mk3(n):
+                def f(fmt, x0, nn):
+                    def body(i, acc):
+                        yv = pk3.tr_spmv_oneshot3(
+                            fmt, x0 * (1.0 + acc * 1e-30))
+                        return acc + yv[0] * 1e-30
+
+                    return jax.lax.fori_loop(0, nn, body, jnp.float32(1.0))
+
+                g = jax.jit(f)
+                return lambda: g(fmt3_2d, x2, n)
+
+            t = periter(mk3, 20, 220, reps=6)
+            result["trspmv2d_gnnz_s"] = round(A2.nnz / t / 1e9, 2)
+
+        bundle = pk2d.pack_stream_vbc2d(B2)
 
         def mk(n):
             def f(bundle, x0, nn):
@@ -313,33 +335,55 @@ def main():
             return lambda: g(bundle, x2, n)
 
         t = periter(mk, 20, 220, reps=6)
-        result["trspmv2d_gnnz_s"] = round(A2.nnz / t / 1e9, 2)
+        result["trspmv2d_dedicated_gnnz_s"] = round(A2.nnz / t / 1e9, 2)
+        if fmt3_2d is None:
+            result["trspmv2d_gnnz_s"] = result["trspmv2d_dedicated_gnnz_s"]
 
     # ---- SpMM (config 4: k = 128 dense RHS) ------------------------------
     @stage(result, "spmm", 60)
     def _():
-        from vbcs_tpu.ops import pallas_spmm3 as pm3
+        from vbcs_tpu.ops import pallas_spmm4 as pm4
 
-        A, fmt_o = state["A"], state["fmt_o"]
+        A, B = state["A"], state["B"]
         k = 128
         X = jnp.asarray(
             np.random.default_rng(4).standard_normal((A.shape[0], k)),
             jnp.float32)
+        fmt4 = pm4.pack_spmm4(B)
+        if fmt4 is not None:
+            jax.block_until_ready(fmt4.val)
 
-        def mk(n):
-            def f(fmt, X0, nn):
-                def body(i, Xc):
-                    return pm3.tr_spmm_pallas3(fmt, Xc) * jnp.float32(0.999)
+            def mk(n):
+                def f(fmt, X0, nn):
+                    def body(i, Xc):
+                        return (pm4.tr_spmm_pallas4(fmt, Xc)
+                                * jnp.float32(0.999))
 
-                return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
+                    return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
 
-            g = jax.jit(f)
-            return lambda: g(fmt_o, X, n)
+                g = jax.jit(f)
+                return lambda: g(fmt4, X, n)
+        else:  # degrade to the v3 k-tiled SpMM
+            from vbcs_tpu.ops import pallas_spmm3 as pm3
+
+            result["spmm_kernel"] = "v3"
+            fmt_o = state["fmt_o"]
+
+            def mk(n):
+                def f(fmt, X0, nn):
+                    def body(i, Xc):
+                        return (pm3.tr_spmm_pallas3(fmt, Xc)
+                                * jnp.float32(0.999))
+
+                    return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
+
+                g = jax.jit(f)
+                return lambda: g(fmt_o, X, n)
 
         t = periter(mk, 3, 23, reps=4)
         result["spmm_k128_gnnzk_s"] = round(A.nnz * k / t / 1e9, 1)
         result["spmm_k128_sweep_us"] = round(t * 1e6, 1)
-        # roofline: val+meta once + X and Y once per sweep
+        # roofline: val stream once + X and Y once per sweep
         bts = state["chain_bytes"] + 2 * A.shape[0] * k * 4
         result["spmm_k128_vs_roofline"] = round(
             (A.nnz * k / t) / (A.nnz * k / (bts / bw)), 3)

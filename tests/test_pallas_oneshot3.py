@@ -153,6 +153,15 @@ def test_multiclass_dp_plan():
     np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
 
 
+def test_rectangular_nat():
+    # nat-mode one-shot accepts m != n (gather covers x=m, exit covers
+    # y=n); slot-mode still refuses (output layout must compose with x)
+    A = banded(600, 900, 5, 60, seed=17)
+    check_oneshot(A, 8, v.EquiChunker(8), expect_natural=False)
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    assert pk3.pack_stream3(B) is None
+
+
 def test_nat_format_cannot_chain():
     A = banded(256, 256, 4, 20, seed=14)
     B = v.vbc1d(A, 8, v.EquiChunker(8))

@@ -553,7 +553,13 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
     (their output layout differs from their gather layout)."""
     assert ng % 128 == 0 and ns % 128 == 0 and ns <= ng
     widths = B.Phi.widths()
-    if widths.size == 0 or B.m != B.n or int(widths.max(initial=0)) > 8:
+    if widths.size == 0 or int(widths.max(initial=0)) > 8:
+        return None
+    if B.m != B.n and mode != "nat":
+        # slot-mode gather targets ARE the kernel's output layout, which
+        # only composes when x and y share the index space (square);
+        # nat-mode one-shots gather from x (m) and exit over y (n)
+        # independently, so rectangular matrices are fine
         return None
     spl = B.Phi.spl.astype(np.int64)
     S_all = spl.size - 1
