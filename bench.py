@@ -301,8 +301,15 @@ def main():
             jnp.float32)
         # the 2-D operator's per-call path: v3 exact two-take gather on
         # the 1-D view (VBC2DOperator.tr_mul does exactly this); the
-        # dedicated u-blocked kernel stays as the fallback + SpMM tiles
+        # dedicated u-blocked kernel stays as the fallback + SpMM tiles.
+        # Same guard as VBC2DOperator._v3_oneshot: without a routable
+        # exit, the v3 path lands on the XLA gather (measured 1.11 vs
+        # 20.68 Gnnz/s in r3) and the dedicated kernel must win.
         fmt3_2d = pk3.pack_stream3(B2.to_1d_view(), mode="nat")
+        if fmt3_2d is not None and not (fmt3_2d.natural
+                                        or fmt3_2d.exit_plan is not None):
+            fmt3_2d = None
+        result["trspmv2d_kernel"] = "v3_oneshot" if fmt3_2d is not None else "2d"
         if fmt3_2d is not None:
             jax.block_until_ready(fmt3_2d.vals)
 
@@ -351,6 +358,7 @@ def main():
             jnp.float32)
         fmt4 = pm4.pack_spmm4(B)
         if fmt4 is not None:
+            result["spmm_kernel"] = "v4"
             jax.block_until_ready(fmt4.val)
 
             def mk(n):
@@ -383,8 +391,12 @@ def main():
         t = periter(mk, 3, 23, reps=4)
         result["spmm_k128_gnnzk_s"] = round(A.nnz * k / t / 1e9, 1)
         result["spmm_k128_sweep_us"] = round(t * 1e6, 1)
-        # roofline: val stream once + X and Y once per sweep
-        bts = state["chain_bytes"] + 2 * A.shape[0] * k * 4
+        # roofline: the running kernel's own value stream once + X and
+        # Y once per sweep (v4's val is 8-padded blocks; v3's is the
+        # chain stream)
+        vbytes = (int(np.prod(fmt4.val.shape)) * 4 if fmt4 is not None
+                  else state["chain_bytes"])
+        bts = vbytes + 2 * A.shape[0] * k * 4
         result["spmm_k128_vs_roofline"] = round(
             (A.nnz * k / t) / (A.nnz * k / (bts / bw)), 3)
 

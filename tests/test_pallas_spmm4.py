@@ -77,6 +77,27 @@ def test_variable_nb_padding():
     check(A, 8, 128)
 
 
+def test_flagship_scale_budgets():
+    """The r3 defect class: pack at bench-flagship scale must keep the
+    streamed rowloc block within SMEM and the full double-buffered
+    footprint within VMEM (r3 shipped a 1.29 MB scalar-prefetch SMEM
+    operand that failed to COMPILE on the flagship — ADVICE r3 high).
+    Pure pack + budget math, no kernel run (CI has no TPU)."""
+    A = blocky(40000, 8, 8, 400, seed=0)  # == bench.blocky_matrix()
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    fmt = pm4.pack_spmm4(B)
+    assert fmt is not None
+    # per-chunk SMEM block (double-buffered) fits the budget
+    assert 2 * fmt.sl * fmt.nb * 4 <= pm4.SMEM_BUDGET
+    # full double-buffered VMEM footprint fits
+    assert pm4._vmem_bytes(fmt.sl, fmt.nb, fmt.nt) <= pm4.VMEM_BUDGET
+    # rowloc is streamed (chunk-blocked), not a flat SMEM operand
+    assert np.asarray(fmt.rowloc).shape == (fmt.num_chunks,
+                                            fmt.sl, fmt.nb)
+    # val is lane-major (8 sublanes x blocks): dense VMEM tiling
+    assert np.asarray(fmt.val).shape[0] == 8
+
+
 def test_refuses_multiclass():
     A = blocky(16, 8, 3, 20, seed=5)
     B = v.vbc1d(A, 8, v.DynamicTotalChunker(v.model_1dvbc_memory(4, 8), 8))

@@ -625,11 +625,14 @@ class VBC2DOperator:
 
     def _v3_oneshot(self, which: str):
         """nat-mode v3 stream format of the 1-D view (lazy; False when
-        pack_stream3 refuses the view).  The exact two-take gather on
-        the 1-D view beats the dedicated u-blocked 2-D kernel ~3-5x
-        per call (VERDICT r2 item 6: 2-D kernel parity with the
-        one-shot), so it is the preferred per-call path; the 2-D
-        bundle remains the fallback and the SpMM tile source."""
+        pack_stream3 refuses the view OR cannot route the slot->natural
+        exit).  The exact two-take gather on the 1-D view is preferred
+        only when the exit is a reshape (natural) or a routed Clos/
+        multipass permute: a u-interleaved 2-D slot map that fails the
+        router would land on the pathological XLA gather (~0.6 GB/s,
+        measured 18x SLOWER than the dedicated kernel on the bench's
+        blocky2d matrix — VERDICT r3 item 2), so those formats keep the
+        dedicated u-blocked 2-D stream kernel instead."""
         attr = "_v3_tr" if which == "tr" else "_v3_fw"
         cur = getattr(self, attr)
         if cur is None:
@@ -637,6 +640,9 @@ class VBC2DOperator:
 
             host = self.host_tr if which == "tr" else self.host_fw
             fmt = pack_stream3(host.to_1d_view(), mode="nat")
+            if fmt is not None and not (fmt.natural
+                                        or fmt.exit_plan is not None):
+                fmt = None  # unroutable exit -> XLA gather; dedicated wins
             setattr(self, attr, fmt if fmt is not None else False)
             cur = getattr(self, attr)
         return cur if cur is not False else None
