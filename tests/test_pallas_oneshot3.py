@@ -176,3 +176,47 @@ def test_corpus_can292():
 
     A = load_corpus()["HB/can_292"].tocsc().astype(np.float64)
     check_oneshot(A, 4, v.EquiChunker(4), expect_natural=False)
+
+
+def test_beta_fused_natural():
+    """beta*y fuses into the kernel's output store on natural formats:
+    parity with the host oracle AND no XLA elementwise mul/add in the
+    jaxpr (reference beta prescale, src/multiply_1DVBC.jl:143-147)."""
+    import jax
+
+    A = banded(1024, 1024, 6, 50, seed=11)
+    B = v.vbc1d(A, 8, v.EquiChunker(8))
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None and fmt.natural
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y0 = rng.standard_normal(A.shape[1]).astype(np.float32)
+    out = np.asarray(pk3.tr_spmv_oneshot3(
+        fmt, jnp.asarray(x), 0.5, 0.25, jnp.asarray(y0)))
+    want = (0.5 * (A.T @ x.astype(np.float64))
+            + 0.25 * y0.astype(np.float64)).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(out / scale, want / scale, atol=2e-5)
+    # the hot op has NO post-hoc XLA elementwise pass: every mul/add
+    # lives inside the pallas_call
+    jaxpr = jax.make_jaxpr(
+        lambda f, xx, yy: pk3.tr_spmv_oneshot3(f, xx, 0.5, 0.25, yy)
+    )(fmt, jnp.asarray(x), jnp.asarray(y0))
+    names = {e.primitive.name for e in jaxpr.jaxpr.eqns}
+    assert "mul" not in names and "add" not in names, names
+
+
+def test_beta_posthoc_nonnatural():
+    A = banded(800, 800, 5, 60, seed=13)
+    B = v.vbc1d(A, 4, v.EquiChunker(4))
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None and not fmt.natural
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y0 = rng.standard_normal(A.shape[1]).astype(np.float32)
+    out = np.asarray(pk3.tr_spmv_oneshot3(
+        fmt, jnp.asarray(x), None, 0.75, jnp.asarray(y0)))
+    want = ((A.T @ x.astype(np.float64))
+            + 0.75 * y0.astype(np.float64)).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(out / scale, want / scale, atol=2e-5)

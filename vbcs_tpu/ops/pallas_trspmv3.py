@@ -1070,7 +1070,8 @@ def _tile_relayout_call(Rb: int):
     )
 
 
-def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0):
+def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0,
+                    with_y: bool = False):
     """Single-pass TrSpMV over grid (T,): the chain's lane-dynamic
     two-take gather against the x input held whole in VMEM.
 
@@ -1100,6 +1101,9 @@ def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0):
             gseg_ref, ends_ref = rest[k], rest[k + 1]; k += 2
         val_refs = rest[k:k + C]; k += C
         xin_ref = rest[k]; k += 1
+        y_ref = None
+        if with_y:
+            y_ref = rest[k]; k += 1
         out_ref, carry = rest[k], rest[k + 1]
 
         t = pl.program_id(grid_axis)
@@ -1174,6 +1178,16 @@ def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0):
                         ua = pltpu.roll(pltpu.roll(u, 8 - s, 0), s, 1)
                         ub = pltpu.roll(pltpu.roll(u, s, 0), 128 - s, 1)
                         u = jnp.where(a_sw, ua, jnp.where(b_sw, ub, u))
+                    if with_y:
+                        # fused beta epilogue (reference prescales y by
+                        # beta before accumulating,
+                        # src/multiply_1DVBC.jl:143-147; here the
+                        # natural-layout store makes beta*y a single
+                        # in-kernel FMA on the output block)
+                        beta = jax.lax.bitcast_convert_type(
+                            jnp.broadcast_to(alpha_ref[1], (1, 1)),
+                            jnp.float32)
+                        u = u + beta * y_ref[8 * cc:8 * (cc + 1), :]
                     out_ref[8 * cc:8 * (cc + 1), :] = u
             else:
                 # sublane-major (8, ns): full-lane DMA; exits through
@@ -1190,7 +1204,8 @@ def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0):
     return kernel
 
 
-def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0):
+def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0,
+                  with_y: bool = False):
     T = fmt.num_chunks
     ng, ns = fmt.ng, fmt.ns
     nat_store = nat_rows > 0 and fmt.natural
@@ -1225,10 +1240,15 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0):
                          memory_space=pltpu.VMEM))
     if nat_store:
         rows_c = ns * 8 // 128
+        if with_y:
+            in_specs.append(
+                pl.BlockSpec((rows_c, 128), lambda t, *_: (t, 0),
+                             memory_space=pltpu.VMEM))
         out_spec = pl.BlockSpec((rows_c, 128), lambda t, *_: (t, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((T * rows_c, 128), jnp.float32)
     else:
+        assert not with_y  # beta fusion: natural-store formats only
         out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((8, T * ns), jnp.float32)
@@ -1240,7 +1260,7 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0):
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
     )
     return pl.pallas_call(
-        _oneshot_kernel(fmt, nat_rows),
+        _oneshot_kernel(fmt, nat_rows, with_y=with_y),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1250,7 +1270,7 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0):
 
 
 def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
-                     alpha=None) -> jax.Array:
+                     alpha=None, beta=None, y=None) -> jax.Array:
     """y = alpha * A.T @ x in two kernel passes for ``mode="nat"``
     formats: a tiny tile-relayout kernel turns the padded natural x
     (a pure reshape) into the (8, Lx) tile-interleaved buffer, then
@@ -1268,7 +1288,9 @@ def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
     otherwise) and the fewer windows make the grid faster — so the
     chain format doubles as the fast per-call format, one pack."""
     a = jnp.asarray(1.0 if alpha is None else alpha, jnp.float32)
-    alpha_bits = jax.lax.bitcast_convert_type(a, jnp.int32).reshape(1)
+    b = jnp.asarray(0.0 if beta is None else beta, jnp.float32)
+    alpha_bits = jax.lax.bitcast_convert_type(
+        jnp.stack([a, b]), jnp.int32).reshape(2)
     nat_rows = 0
     if fmt.entry_mode == "reshape":
         R = -(-fmt.m // 1024)
@@ -1285,20 +1307,39 @@ def tr_spmv_oneshot3(fmt: StreamFormat3, x: jax.Array,
     else:
         xin = entry3(fmt, x)  # (8, X) slot buffer
         meta, xtile, lanes = fmt.meta_slot, fmt.xtile_slot, fmt.X
+    # beta*y fuses into the kernel's output store on natural-store
+    # formats (y streamed in the out block's layout); other formats
+    # apply it post-exit in XLA
+    with_y = (y is not None and beta is not None
+              and nat_rows > 0 and fmt.natural)
     args = [meta]
     if fmt.has_scan:
         args += [fmt.gseg, fmt.ends]
     args += list(fmt.vals)
-    out = _oneshot_call(fmt, lanes, nat_rows)(
-        xtile, alpha_bits, fmt.nslots, fmt.straddle, *args, xin)
+    args.append(xin)
+    if with_y:
+        T = fmt.num_chunks
+        rows_c = fmt.ns * 8 // 128
+        yp = jnp.zeros(T * rows_c * 128, jnp.float32).at[: fmt.n].set(
+            y.astype(jnp.float32))
+        args.append(yp.reshape(T * rows_c, 128))
+    out = _oneshot_call(fmt, lanes, nat_rows, with_y=with_y)(
+        xtile, alpha_bits, fmt.nslots, fmt.straddle, *args)
     if nat_rows > 0 and fmt.natural:
         # padded-natural (T*64, 128) store: flat IS natural y
-        return out.reshape(-1)[: fmt.n]
+        out = out.reshape(-1)[: fmt.n]
+        if y is not None and beta is not None and not with_y:
+            out = out + beta * y
+        return out
     if fmt.natural:
         # sublane-major (8, T*ns) store -> natural y is one XLA
         # transpose; only slot/tile formats reach this
-        return out.T.reshape(-1)[: fmt.n]
-    return exit3(fmt, out)
+        out = out.T.reshape(-1)[: fmt.n]
+    else:
+        out = exit3(fmt, out)
+    if y is not None and beta is not None:
+        out = out + jnp.asarray(beta, jnp.float32) * y.astype(jnp.float32)
+    return out
 
 
 def entry3(fmt: StreamFormat3, x: jax.Array) -> jax.Array:

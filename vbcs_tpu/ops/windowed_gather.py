@@ -172,9 +172,12 @@ def pad_plan_windows(plan, wblk_new: int):
     if isinstance(plan, ClosPlan):
         meta = np.asarray(plan.meta)
         pad = np.zeros((wblk_new - plan.wblk,) + meta.shape[1:], meta.dtype)
+        on_host = isinstance(plan.meta, np.ndarray)
+        meta2 = np.concatenate([meta, pad], axis=0)
         return dataclasses.replace(
-            plan, wblk=wblk_new, xtile=jnp.asarray(xt2),
-            meta=jnp.asarray(np.concatenate([meta, pad], axis=0)))
+            plan, wblk=wblk_new,
+            xtile=xt2 if on_host else jnp.asarray(xt2),
+            meta=meta2 if on_host else jnp.asarray(meta2))
     return dataclasses.replace(plan, wblk=wblk_new, xtile=jnp.asarray(xt2))
 
 
@@ -293,8 +296,12 @@ class ClosPlan:
 
 def pack_clos(perm: np.ndarray, src_len: int,
               max_w: int = MAX_WBLK, mask=None,
-              layout: str = "flat") -> "ClosPlan | None":
-    """Clos-routed plan for ``out[i] = src[perm[i]]`` (any index map)."""
+              layout: str = "flat",
+              device: bool = True) -> "ClosPlan | None":
+    """Clos-routed plan for ``out[i] = src[perm[i]]`` (any index map).
+    ``device=False`` keeps the plan's arrays on host (numpy) — for
+    callers like pack_multipass that assemble several plans and ship
+    ONE device_put at the end (each put is a tunnel round trip)."""
     perm = np.asarray(perm, dtype=np.int64)
     n = perm.size
     T = max(1, -(-n // CO))
@@ -336,12 +343,13 @@ def pack_clos(perm: np.ndarray, src_len: int,
         valid = np.ascontiguousarray(
             vmask.reshape(T, 1024, 8).transpose(2, 0, 1).reshape(
                 8, T * 1024))
-        return jax.device_put(ClosPlan(
+        plan = ClosPlan(
             n_out=int(n), src_len=int(src_len), wblk=int(wblk),
             num_chunks=int(T),
             meta=meta, xtile=xtiles_n[:, :wblk].reshape(-1),
             valid=valid, layout=layout,
-        ))
+        )
+        return jax.device_put(plan) if device else plan
 
     metas = []  # per vreg: list of [8,128] int32 planes
     xtiles = np.zeros((nseg, max_w), dtype=np.int32)
@@ -443,11 +451,12 @@ def pack_clos(perm: np.ndarray, src_len: int,
     e_idx = np.arange(CO)
     for g in range(T):
         valid[e_idx % 8, g * 1024 + e_idx // 8] = vmask[g * CO:(g + 1) * CO]
-    return jax.device_put(ClosPlan(
+    plan = ClosPlan(
         n_out=int(n), src_len=int(src_len), wblk=int(wblk),
         num_chunks=int(T), meta=meta, xtile=xtiles[:, :wblk].reshape(-1),
         valid=valid, layout=layout,
-    ))
+    )
+    return jax.device_put(plan) if device else plan
 
 
 def _clos_kernel(wblk: int, layout: str = "flat"):
@@ -457,6 +466,21 @@ def _clos_kernel(wblk: int, layout: str = "flat"):
         valid = valid_ref[...]
         meta = meta_ref[...]  # [wblk, 8, 1024]
         m0 = meta[0]
+        if layout == "tiles":
+            # constant in-vreg shuffle (s, l) -> natural flat l*8 + s:
+            # lane permute idx1 then 3 Eklundh butterfly stages (same
+            # pattern as the v3 nat store, pallas_trspmv3 _oneshot)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            idx1 = (16 * jax.lax.bitwise_and(lane_i, jnp.int32(7))
+                    + jax.lax.shift_right_logical(lane_i, jnp.int32(3)))
+            ek_masks = []
+            for s in (4, 2, 1):
+                a_sw = (jax.lax.bitwise_and(sub_i, jnp.int32(s)) == 0) & (
+                    jax.lax.bitwise_and(lane_i, jnp.int32(s)) != 0)
+                b_sw = (jax.lax.bitwise_and(sub_i, jnp.int32(s)) != 0) & (
+                    jax.lax.bitwise_and(lane_i, jnp.int32(s)) == 0)
+                ek_masks.append((s, a_sw, b_sw))
         parts = []
         for v_ in range(NV):
             m0v = m0[:, v_ * 128:(v_ + 1) * 128]
@@ -477,10 +501,18 @@ def _clos_kernel(wblk: int, layout: str = "flat"):
                 c = jnp.take_along_axis(t1, A2, axis=0)
                 acc = jnp.where(WIDv == wi, c, acc) if wblk > 1 else c
             acc = acc * valid[:, v_ * 128:(v_ + 1) * 128]
-            parts.append(acc.T if layout == "flat" else acc)
+            if layout == "tiles":
+                u = jnp.take_along_axis(acc, idx1, axis=1)
+                for s, a_sw, b_sw in ek_masks:
+                    ua = pltpu.roll(pltpu.roll(u, 8 - s, 0), s, 1)
+                    ub = pltpu.roll(pltpu.roll(u, s, 0), 128 - s, 1)
+                    u = jnp.where(a_sw, ua, jnp.where(b_sw, ub, u))
+                out_ref[8 * v_:8 * (v_ + 1), :] = u
+            else:
+                parts.append(acc.T if layout == "flat" else acc)
         if layout == "flat":
             out_ref[...] = jnp.concatenate(parts, axis=0)  # [1024, 8]
-        else:
+        elif layout == "2d":
             out_ref[...] = jnp.concatenate(parts, axis=1)  # [8, 1024]
 
     return kernel
@@ -495,6 +527,19 @@ def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
         src.astype(jnp.float32)
     )
     s2d = sp.reshape(rows, 128)
+    out = _apply_clos_arrays(plan.xtile, plan.valid, plan.meta, s2d,
+                             T, wblk, plan.layout, plan.n_out)
+    if plan.layout == "tiles":
+        return out.reshape(-1)[: plan.n_out]
+    return out
+
+
+def _apply_clos_arrays(xtile, valid, meta, s2d, T: int, wblk: int,
+                       layout: str, n_out: int) -> jax.Array:
+    """apply_clos core on raw arrays — also the ``lax.scan`` body for
+    same-shape pass chains (``multipass.apply_multipass`` stacks the
+    per-pass meta/xtile/valid and scans, so a 5-pass radix chain
+    lowers to ONE Mosaic kernel instead of five)."""
     win_specs = [
         pl.BlockSpec(
             (8, 128),
@@ -508,6 +553,23 @@ def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
         for v in range(NV)
         for d in range(wblk)
     ]
+    if layout == "flat":
+        out_spec = pl.BlockSpec((1024, 8), lambda g, *_: (g, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T * 1024, 8), jnp.float32)
+    elif layout == "tiles":
+        # natural (8, 128)-window layout: element e of chunk g at
+        # (row 8g*8 + e//128, lane e%128).  Full-lane stores (the
+        # (1024, 8) flat store is 16 partial tiles per vreg), and the
+        # output IS a valid window source for a following clos pass —
+        # multipass chains with zero inter-pass relayout.
+        out_spec = pl.BlockSpec((64, 128), lambda g, *_: (g, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T * 64, 128), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((8, 1024), lambda g, *_: (0, g),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((8, T * 1024), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -518,24 +580,16 @@ def apply_clos(plan: ClosPlan, src: jax.Array) -> jax.Array:
                          memory_space=pltpu.VMEM),
             *win_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (1024, 8), lambda g, *_: (g, 0), memory_space=pltpu.VMEM
-        )
-        if plan.layout == "flat"
-        else pl.BlockSpec(
-            (8, 1024), lambda g, *_: (0, g), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
     )
     out = pl.pallas_call(
-        _clos_kernel(wblk, plan.layout),
+        _clos_kernel(wblk, layout),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T * 1024, 8), jnp.float32)
-        if plan.layout == "flat"
-        else jax.ShapeDtypeStruct((8, T * 1024), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(plan.xtile, plan.valid, plan.meta, *([s2d] * (NV * wblk)))
-    if plan.layout == "flat":
-        return out.reshape(-1)[: plan.n_out]
-    return out  # (8, T*1024) buffer
+    )(xtile, valid, meta, *([s2d] * (NV * wblk)))
+    if layout == "flat":
+        return out.reshape(-1)[: n_out]
+    return out  # "2d": (8, T*1024); "tiles": (T*64, 128)
