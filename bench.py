@@ -231,7 +231,12 @@ def main():
         try:
             bw_meas = measure_stream_bw()
             result["hbm_stream_gb_s"] = round(bw_meas / 1e9, 1)
-            bw = bw_meas
+            # conservative denominator: the LARGER of spec and measured
+            # (a small denominator would inflate every vs_roofline; the
+            # XLA elementwise STREAM probe measured 420 GB/s on v5e —
+            # clearly below what the Pallas kernels themselves sustain
+            # (632 GB/s observed), so it is a lower bound, not a peak)
+            bw = max(bw, bw_meas)
         except Exception as e:  # noqa: BLE001
             result.setdefault("errors", {})["stream_bw"] = str(e)
     result["hbm_gb_s"] = round(bw / 1e9, 1)
@@ -318,8 +323,24 @@ def main():
         t = periter(mk, 200, 2000, reps=4)
         result["chain_gnnz_s"] = round(A.nnz / t / 1e9, 2)
         result["chain_iter_us"] = round(t * 1e6, 2)
-        result["chain_vs_roofline"] = round(
-            (A.nnz / t) / (A.nnz / (state["chain_bytes"] / bw)), 3)
+        # When the chain's whole val+meta stream plus its slot buffers
+        # fit in VMEM (~16 MB), Mosaic's pipeliner re-uses the resident
+        # blocks across grid iterations and the steady state re-reads
+        # ~nothing from HBM — an HBM-stream "roofline" is then not a
+        # bound at all (r2/r3 reported chain_vs_roofline > 1 for
+        # exactly this reason).  Report the ratio only when the format
+        # genuinely streams.
+        resident = state["chain_bytes"] + 2 * 8 * 4 * (
+            state["fmt_c"].X if hasattr(state["fmt_c"], "X") else 0)
+        result["chain_resident_mb"] = round(resident / 2**20, 1)
+        if resident > 15 << 20:
+            result["chain_vs_roofline"] = round(
+                (A.nnz / t) / (A.nnz / (state["chain_bytes"] / bw)), 3)
+        else:
+            result["chain_vs_roofline"] = None
+            result["chain_note"] = (
+                "format VMEM-resident: steady-state HBM traffic ~0, "
+                "no stream roofline applies")
 
     # ---- 2-D u-blocked kernel --------------------------------------------
     @stage(result, "vbc2d", 60)
@@ -468,8 +489,13 @@ def main():
             t = periter(mkc, 200, 2000, reps=3)
             result["fem_chain_gnnz_s"] = round(Af.nnz / t / 1e9, 2)
             fem_bytes = stream_gbytes(fmt_c, "slot")
-            result["fem_chain_vs_roofline"] = round(
-                (Af.nnz / t) / (Af.nnz / (fem_bytes / bw)), 3)
+            fem_resident = fem_bytes + 2 * 8 * 4 * fmt_c.X
+            if fem_resident > 15 << 20:
+                result["fem_chain_vs_roofline"] = round(
+                    (Af.nnz / t) / (Af.nnz / (fem_bytes / bw)), 3)
+            else:  # same residency caveat as the flagship chain
+                result["fem_chain_resident_mb"] = round(
+                    fem_resident / 2**20, 1)
 
     # ---- information-free scatter (the "no blocking pays" tier) ----------
     @stage(result, "scattered", 120)

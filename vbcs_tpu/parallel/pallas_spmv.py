@@ -108,16 +108,26 @@ class ShardedStream:
     fb_gather: tuple = ()
 
 
-def _split_ranges(T: int, straddle: np.ndarray, ndev: int):
+def _split_ranges(T: int, straddle: np.ndarray, ndev: int, weight=None):
     """Contiguous chunk ranges per device, cut only where the previous
-    chunk does not straddle."""
+    chunk does not straddle.  ``weight`` (per-chunk cost, e.g. real
+    slot counts) balances cumulative COST instead of chunk count —
+    the TPU analog of the reference's dynamic stripe scheduler
+    (``src/multiply_1DVBC.jl:169-177``) applied at plan time: tail
+    chunks are often partially filled, so count-balanced shards leave
+    the last device under-loaded."""
     allowed = np.flatnonzero(
         np.concatenate([[1], (straddle[:-1] == 0).astype(np.int64)])
     )
+    if weight is None:
+        w = np.ones(T, dtype=np.float64)
+    else:
+        w = np.maximum(np.asarray(weight, dtype=np.float64), 1e-9)
+    cum = np.concatenate([[0.0], np.cumsum(w)])
     bounds = [0]
     for d in range(1, ndev):
-        target = round(T * d / ndev)
-        k = int(allowed[np.argmin(np.abs(allowed - target))])
+        target = cum[-1] * d / ndev
+        k = int(allowed[np.argmin(np.abs(cum[allowed] - target))])
         k = max(k, bounds[-1])
         bounds.append(k)
     bounds.append(T)
@@ -150,7 +160,8 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
     slots_per_dev = 0
     for c in fmt.classes:
         T = c.num_chunks
-        ranges = _split_ranges(T, np.asarray(c.straddle), ndev)
+        ranges = _split_ranges(T, np.asarray(c.straddle), ndev,
+                               weight=np.asarray(c.nslots) + 1)
         Td = max(g1 - g0 for g0, g1 in ranges)
         plans.append((ranges, Td))
         slots_per_dev += Td * NS * c.w
