@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--matrix", default="synthetic")
     ap.add_argument("--w", type=int, default=8)
     ap.add_argument("--no-time-model", action="store_true")
+    ap.add_argument("--no-2d-time-model", action="store_true",
+                    help="skip the 2-D autotuned time model (its 8x8 "
+                         "microbenchmark grid is expensive on a cold "
+                         "cache / slow tunnel); the cached 1-D model "
+                         "still provides the min-time row")
     ap.add_argument("--no-csc", action="store_true")
     args = ap.parse_args()
 
@@ -51,6 +56,11 @@ def main():
     if args.matrix == "synthetic":
         A_sp = blocky_matrix()
         name = "synthetic ct20stif-like (banded blocky)"
+    elif args.matrix == "fem":
+        from bench import fem_matrix
+
+        A_sp = fem_matrix().astype(np.float64)
+        name = "scrambled 5-point FEM (thermal1-like, 320x320 grid)"
     else:
         from corpus import load_corpus
 
@@ -114,7 +124,7 @@ def main():
             v.OverlapChunker(0.7, W), v.OverlapChunker(0.7, W)), mdl_mem2),
         ("dynamic memory 2D", v.default_2d_partitioner(W, W, 4, 8), mdl_mem2),
     ]
-    if not args.no_time_model:
+    if not args.no_time_model and not args.no_2d_time_model:
         try:
             # autotuned 2-D time model, rank-3 SVD like bin/test_table.jl:56
             mdl_time2 = autotune.model_vbc_trspmv_time(W, W, rank=3)

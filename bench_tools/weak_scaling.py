@@ -41,9 +41,27 @@ def main():
     from vbcs_tpu.utils.timing import periter
     from jax.sharding import Mesh
 
+    if jax.devices()[0].platform != "tpu":
+        # virtual CPU mesh: run the kernels in interpret mode (times
+        # exercise the code path, not the hardware — see module doc)
+        from jax.experimental import pallas as pl
+
+        from vbcs_tpu.ops import windowed_gather as wg
+
+        orig = pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            k.pop("compiler_params", None)
+            return orig(*a, **k)
+
+        pk2.pl.pallas_call = patched
+        wg.pl.pallas_call = patched
+
     ndev_all = len(jax.devices())
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
     base_rate = {}
+    rows_json = []
     print(f"{'N':>3s} {'path':12s} {'nnz':>10s} {'t_us':>8s} "
           f"{'gnnz_s':>8s} {'halo_KiB':>9s} {'eff':>5s}")
     for ndev in counts:
@@ -86,6 +104,17 @@ def main():
                 f"{ndev:3d} {path:12s} {A.nnz:10d} {t*1e6:8.1f} "
                 f"{rate/1e9:8.2f} {halo_kib:9.0f} {eff:5.2f}"
             )
+            rows_json.append(dict(
+                ndev=ndev, path=path, nnz=int(A.nnz),
+                t_us=round(t * 1e6, 1), gnnz_s=round(rate / 1e9, 3),
+                halo_kib=round(halo_kib, 1),
+                efficiency=round(eff, 3) if eff == eff else None,
+                platform=jax.devices()[0].platform,
+            ))
+
+    import json
+
+    print(json.dumps({"weak_scaling": rows_json}))
 
 
 if __name__ == "__main__":

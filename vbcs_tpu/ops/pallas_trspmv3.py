@@ -563,9 +563,25 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
         return None
     spl = B.Phi.spl.astype(np.int64)
     S_all = spl.size - 1
-    ws = sorted(int(w) for w in np.unique(widths))
-    cls_stripes = [np.flatnonzero(widths == w) for w in ws]
     nb_all = (B.pos[1:] - B.pos[:-1]).astype(np.int64)
+    # classes split by width AND by single-group vs multi-group: a
+    # class where every stripe fits one 8-block group is an IDENTITY
+    # class (slot lane == group lane) and skips the whole segmented-
+    # scan + run-end-extraction machinery — on the RCM'd FEM bench
+    # matrix >99% of stripes are single-group but one multi-group
+    # stripe used to drag the entire class through the scan path
+    # (~200 vector ops/chunk of end extraction).
+    ws, cls_stripes = [], []
+    for w in sorted(int(w) for w in np.unique(widths)):
+        st = np.flatnonzero(widths == w)
+        single = st[nb_all[st] <= 8]
+        multi = st[nb_all[st] > 8]
+        if single.size:
+            ws.append(w)
+            cls_stripes.append(single)
+        if multi.size:
+            ws.append(w)
+            cls_stripes.append(multi)
 
     def layout(extra):
         plans = []
