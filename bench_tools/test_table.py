@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 def measure_runtime_tpu(build_chain, nnz, lo=20, hi=120, reps=6):
     from vbcs_tpu.utils.timing import periter
 
-    return periter(build_chain, lo, hi, reps=reps)
+    if nnz < 100_000:  # tiny matrices: ~us/call needs long chains to
+        lo, hi = 400, 4400  # clear the tunnel's ~ms noise floor
+    t = periter(build_chain, lo, hi, reps=reps)
+    return t if t > 2e-8 else float("nan")
 
 
 def main():
