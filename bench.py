@@ -544,7 +544,11 @@ def main():
                 g = jax.jit(f)
                 return lambda: g(fmt2, xr, n)
 
-        t = periter(mk, 4, 24, reps=3)
+        # wide endpoint span: at ~340 us/call the n_hi - n_lo = 96
+        # calls put the measured difference (~33 ms) well above the
+        # tunnel's ms-scale jitter (a 20-call span measured 0.56-1.7
+        # Gnnz/s across runs purely from ambient noise)
+        t = periter(mk, 4, 100, reps=4)
         result["scattered_gnnz_s"] = round(Ar.nnz / t / 1e9, 3)
 
     result["wall_s"] = round(time.perf_counter() - T_START, 1)

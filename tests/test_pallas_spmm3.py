@@ -39,7 +39,7 @@ def banded(m, n, d, band, seed):
 
 def check(A, W, method, k, kt):
     B = v.vbc1d(A, W, method)
-    fmt = pk3.pack_stream3(B, mode="nat")
+    fmt = pk3.pack_stream3(B, mode="nat", split_identity=False)
     assert fmt is not None
     rng = np.random.default_rng(0)
     X = rng.standard_normal((A.shape[0], k)).astype(np.float32)
@@ -73,7 +73,7 @@ def test_spmm3_basis_columns_bitwise():
     basis-vector oracle batched as SpMM, SURVEY §4)."""
     A = banded(256, 256, 4, 20, seed=9)
     B = v.vbc1d(A, 8, v.EquiChunker(8))
-    fmt = pk3.pack_stream3(B, mode="nat")
+    fmt = pk3.pack_stream3(B, mode="nat", split_identity=False)
     X = np.zeros((256, 8), np.float32)
     for j in range(8):
         X[j * 31, j] = 1.0

@@ -532,7 +532,8 @@ def _gseg_ends(plan, T, ng=NG, ns=NS):
     return gseg, ends
 
 
-def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
+def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot",
+                 split_identity=True):
     """VBC1D -> chained-stream format; None if the matrix is non-square,
     a class is wider than 8, or the slot buffer exceeds VMEM.
 
@@ -574,6 +575,10 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot"):
     ws, cls_stripes = [], []
     for w in sorted(int(w) for w in np.unique(widths)):
         st = np.flatnonzero(widths == w)
+        if not split_identity:
+            ws.append(w)
+            cls_stripes.append(st)
+            continue
         single = st[nb_all[st] <= 8]
         multi = st[nb_all[st] > 8]
         if single.size:
