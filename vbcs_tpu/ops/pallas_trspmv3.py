@@ -729,7 +729,15 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot",
     elif dual:
         entry_mode = "tile"
     elif natural:
-        entry_mode = "transpose"  # slot buffer == reshape(X, 8).T
+        # slot buffer == reshape(X, 8).T — route it as a wblk-1 Clos
+        # permute (each (8, 128) output window reads exactly one
+        # aligned source tile) instead of the XLA transpose the chain
+        # used to pay (~37 us/call on the flagship)
+        perm2d = (8 * np.arange(X, dtype=np.int64)[None, :]
+                  + np.arange(8, dtype=np.int64)[:, None])
+        mask2d = perm2d < B.m
+        entry_plan = wg.pack_permute2d(perm2d, mask2d, B.m)
+        entry_mode = "clos" if entry_plan is not None else "transpose"
     else:
         perm2d = np.zeros((8, X), dtype=np.int64)
         mask2d = np.zeros((8, X), dtype=bool)
