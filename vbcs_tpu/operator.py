@@ -529,6 +529,8 @@ class VBC2DOperator:
     _dev_fw: object = None
     _spmm_tr: object = None  # 1-D view stream format for SpMM (lazy)
     _spmm_fw: object = None
+    _spmm4_tr: object = None  # v4 streaming SpMM of the 1-D view (lazy)
+    _spmm4_fw: object = None
     _v3_tr: object = None  # v3 nat-mode format of the 1-D view (lazy)
     _v3_fw: object = None
     use_pallas: bool = True
@@ -692,9 +694,33 @@ class VBC2DOperator:
             cur = getattr(self, attr)
         return cur if cur is not False else None
 
+    def _spmm4_fmt(self, which: str):
+        """v4 streaming SpMM format of the 1-D view (lazy; False when
+        out of scope) — the 2-D tile layout expands to uniform column
+        stripes with consecutive y rows, exactly v4's contract."""
+        attr = "_spmm4_tr" if which == "tr" else "_spmm4_fw"
+        cur = getattr(self, attr, None)
+        if cur is None:
+            import jax
+
+            from .ops.pallas_spmm4 import pack_spmm4
+
+            host = self.host_tr if which == "tr" else self.host_fw
+            with jax.ensure_compile_time_eval():
+                fmt = pack_spmm4(host.to_1d_view())
+            setattr(self, attr, fmt if fmt is not None else False)
+            cur = getattr(self, attr)
+        return cur if cur is not False else None
+
     def tr_mul_mat(self, X):
-        """Y = A.T @ X (dense RHS [m, k]; k-tiled SpMM on the 1-D view)."""
+        """Y = A.T @ X (dense RHS [m, k]; v4 streaming SpMM on the 1-D
+        view when it qualifies, else the v2 k-tiled kernel)."""
         if self._pallas_ok(X):
+            fmt4 = self._spmm4_fmt("tr")
+            if fmt4 is not None and X.shape[1] <= 128:
+                from .ops.pallas_spmm4 import tr_spmm_pallas4
+
+                return tr_spmm_pallas4(fmt4, X)
             from .ops.pallas_spmm import tr_spmm_pallas
             from .ops.pallas_trspmv2 import pack_stream2
 
@@ -708,6 +734,11 @@ class VBC2DOperator:
     def mul_mat(self, X):
         """Y = A @ X (dense RHS [n, k])."""
         if self._pallas_ok(X):
+            fmt4 = self._spmm4_fmt("fw")
+            if fmt4 is not None and X.shape[1] <= 128:
+                from .ops.pallas_spmm4 import tr_spmm_pallas4
+
+                return tr_spmm_pallas4(fmt4, X)
             from .ops.pallas_spmm import tr_spmm_pallas
             from .ops.pallas_trspmv2 import pack_stream2
 

@@ -69,7 +69,8 @@ __all__ = ["SpmmFormat4", "pack_spmm4", "tr_spmm_pallas4"]
 SL = 448  # stripes per chunk (kernel unroll = sl * NB block slices)
 HT = 128  # ring tile rows
 MAX_NT = 48  # ring tiles per window (3 * NT * 64 KB of VMEM)
-MAX_NB = 16  # blocks-per-stripe cap (padding relief)
+MAX_NB = 32  # blocks-per-stripe cap (2-D tile views expand to d*u)
+MAX_UNROLL = 4096  # sl * NB bound (Mosaic compile time)
 VMEM_BUDGET = 12 << 20  # of the ~16 MB/core (headroom for compiler temps)
 SMEM_BUDGET = 512 << 10  # of the 1 MiB SMEM (double-buffered rowloc block)
 
@@ -162,6 +163,7 @@ def pack_spmm4(B: VBC1D, sl: int = SL):
         hi = np.where(any_c, np.where(has_c, rows_c, -1).max(1), 0)
         NT = max(2, int((hi // HT - lo // HT).max(initial=0)) + 1)
         if (NT <= min(MAX_NT, mtiles)
+                and sl * NB <= MAX_UNROLL
                 and _vmem_bytes(sl, NB, NT) <= VMEM_BUDGET
                 and 2 * sl * NB * 4 <= SMEM_BUDGET):
             break
