@@ -105,3 +105,35 @@ def test_refuses_multiclass():
     if (widths == widths[0]).all() and widths[0] == 8:
         pytest.skip("planner produced uniform-8 anyway")
     assert pm4.pack_spmm4(B) is None
+
+
+def test_2d_view_uniform_tiles():
+    """Uniform 2-D tile plans expand to uniform column stripes with
+    NB = d*u blocks — the VBC2DOperator SpMM route (mixed-width plans
+    refuse and fall back to v2)."""
+    import vbcs_tpu as v
+    from vbcs_tpu.plan.alternating import AlternatingPacker
+
+    rng = np.random.default_rng(11)
+    K, u, w, d = 120, 4, 8, 3
+    rb = np.clip(np.arange(K)[:, None] + rng.integers(-15, 15, (K, d)),
+                 0, K - 1)
+    rows = np.repeat(
+        rb.reshape(-1)[:, None] * u + np.arange(u)[None, :], w, axis=0
+    ).reshape(-1)
+    cols = (np.repeat(np.arange(K) * w, d * u)[:, None]
+            + np.arange(w)[None, :]).reshape(-1)
+    A2 = sp.coo_matrix(
+        (rng.standard_normal(rows.size).astype(np.float32), (rows, cols)),
+        shape=(K * u, K * w)).tocsc()
+    A2.sum_duplicates()
+    B2 = v.vbc2d(v.CSC.from_scipy(A2), u, w,
+                 AlternatingPacker(v.EquiChunker(w), v.EquiChunker(u)))
+    fmt = pm4.pack_spmm4(B2.to_1d_view(), sl=16)
+    assert fmt is not None and fmt.nb == d * u
+    X = rng.standard_normal((A2.shape[0], 32)).astype(np.float32)
+    Y = np.asarray(pm4.tr_spmm_pallas4(fmt, jnp.asarray(X)))
+    want = (A2.T.astype(np.float64) @ X.astype(np.float64)).astype(
+        np.float32)
+    scale = max(1e-6, float(np.abs(want).max()))
+    np.testing.assert_allclose(Y / scale, want / scale, atol=2e-5)
