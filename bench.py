@@ -524,7 +524,10 @@ def main():
     # ---- informational: measured elementwise STREAM bandwidth ------------
     @stage(result, "stream_bw", 40)
     def _():
-        nwords = 16 << 20  # 64 MB buffer: bounded alloc over the tunnel
+        # 256 MB: a 64 MB buffer measured an impossible 2272 GB/s
+        # (partially latency/fusion-resident); at 256 MB the probe
+        # reads a sane 420-610 GB/s across runs
+        nwords = 64 << 20
         xs = jnp.ones((nwords,), jnp.float32)
 
         def mk(n):
@@ -537,7 +540,7 @@ def main():
             g = jax.jit(f)
             return lambda: g(xs, n)
 
-        t = periter(mk, 5, 45, reps=3)
+        t = periter(mk, 3, 13, reps=3)
         result["hbm_stream_gb_s"] = round(2 * nwords * 4 / t / 1e9, 1)
 
     result["wall_s"] = round(time.perf_counter() - T_START, 1)
