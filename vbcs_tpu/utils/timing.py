@@ -28,21 +28,32 @@ def periter(make_chained, n_lo=4, n_hi=20, reps=5):
     ``make_chained(n)`` must return a 0-arg callable that runs the op
     chained ``n`` times on device and returns a scalar (fetched here to
     force completion).
+
+    Endpoints are measured INTERLEAVED and differenced per rep, and
+    the estimate is the median of the per-rep diffs.  The earlier
+    min-over-reps-per-endpoint scheme silently collapsed when the
+    shared chip's ambient load drifted between the two endpoints' rep
+    sets (observed: a 2.5M-nnz SpMV "measured" 5.7 us — an impossible
+    2.5 TB/s — because min(T_hi) landed in a quiet window and
+    min(T_lo) in a loaded one).  Paired diffs are internally
+    consistent under drift; the median rejects bursty outliers in
+    both directions.
     """
     f_lo, f_hi = make_chained(n_lo), make_chained(n_hi)
     float(np.asarray(f_lo()))  # warm/compile
     float(np.asarray(f_hi()))
 
-    def best(f):
-        b = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(f()))
-            b = min(b, time.perf_counter() - t0)
-        return b
-
-    t_lo, t_hi = best(f_lo), best(f_hi)
-    return max(t_hi - t_lo, 1e-12) / (n_hi - n_lo)
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(f_lo()))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(f_hi()))
+        t_hi = time.perf_counter() - t0
+        diffs.append(t_hi - t_lo)
+    d = float(np.median(diffs))
+    return max(d, 1e-12) / (n_hi - n_lo)
 
 
 def chain_spmv(kernel, matrix, x0, n):
