@@ -280,6 +280,114 @@ def main():
         result["effective_hbm_gb_s"] = round(
             state["oneshot_bytes"] / t / 1e9, 1)
 
+    # ---- SpMM (config 4: k = 128 dense RHS) ------------------------------
+    @stage(result, "spmm", 60)
+    def _():
+        from vbcs_tpu.ops import pallas_spmm4 as pm4
+
+        A, B = state["A"], state["B"]
+        k = 128
+        X = jnp.asarray(
+            np.random.default_rng(4).standard_normal((A.shape[0], k)),
+            jnp.float32)
+        fmt4 = pm4.pack_spmm4(B)
+        if fmt4 is not None:
+            result["spmm_kernel"] = "v4"
+            jax.block_until_ready(fmt4.val)
+
+            def mk(n):
+                def f(fmt, X0, nn):
+                    def body(i, Xc):
+                        return (pm4.tr_spmm_pallas4(fmt, Xc)
+                                * jnp.float32(0.999))
+
+                    return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
+
+                g = jax.jit(f)
+                return lambda: g(fmt4, X, n)
+        else:  # degrade to the v3 k-tiled SpMM
+            from vbcs_tpu.ops import pallas_spmm3 as pm3
+
+            result["spmm_kernel"] = "v3"
+            fmt_o = state["fmt_o"]
+
+            def mk(n):
+                def f(fmt, X0, nn):
+                    def body(i, Xc):
+                        return (pm3.tr_spmm_pallas3(fmt, Xc)
+                                * jnp.float32(0.999))
+
+                    return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
+
+                g = jax.jit(f)
+                return lambda: g(fmt_o, X, n)
+
+        t = periter(mk, 3, 23, reps=4)
+        result["spmm_k128_gnnzk_s"] = round(A.nnz * k / t / 1e9, 1)
+        result["spmm_k128_sweep_us"] = round(t * 1e6, 1)
+        # roofline: the running kernel's own value stream once + X and
+        # Y once per sweep (v4's val is 8-padded blocks; v3's is the
+        # chain stream)
+        vbytes = (int(np.prod(fmt4.val.shape)) * 4 if fmt4 is not None
+                  else state["chain_bytes"])
+        bts = vbytes + 2 * A.shape[0] * k * 4
+        result["spmm_k128_vs_roofline"] = round(
+            (A.nnz * k / t) / (A.nnz * k / (bts / bw)), 3)
+
+    # ---- information-free scatter (the "no blocking pays" tier) ----------
+    @stage(result, "scattered", 120)
+    def _():
+        from vbcs_tpu.ops.pallas_scatter import tr_spmv_scatter
+
+        Ar = scattered_matrix().astype(np.float32)
+        t0 = time.perf_counter()
+        op = VBCOperator.from_csc(Ar, W=8)
+        fmt_sc = (op._pallas_scatter("tr")
+                  if op._pallas_tr_oneshot() is False else None)
+        result["scattered_setup_s"] = round(time.perf_counter() - t0, 2)
+        xr = jnp.asarray(
+            np.random.default_rng(4).standard_normal(Ar.shape[0]),
+            jnp.float32)
+        if fmt_sc is not None:
+            # multipass radix-routed kernel (ops/pallas_scatter): the
+            # TPU landing spot where the reference falls back to its
+            # CPU CSC baseline at 0.81 Gnnz/s (src/ref.out:120)
+            result["scattered_kernel"] = "routed_scatter"
+            jax.block_until_ready(fmt_sc.val2d)
+
+            def mk(n):
+                def f(fmt, x0, nn):
+                    def body(i, xc):
+                        return tr_spmv_scatter(fmt, xc) * jnp.float32(0.999)
+
+                    return jax.lax.fori_loop(0, nn, body, x0)[0]
+
+                g = jax.jit(f)
+                return lambda: g(fmt_sc, xr, n)
+        else:  # degrade to the v2 stream kernel
+            from vbcs_tpu.ops.pallas_trspmv2 import tr_spmv_pallas2
+
+            result["scattered_kernel"] = "v2"
+            fmt2 = op._pallas_tr()
+            jax.block_until_ready(fmt2.classes)
+
+            def mk(n):
+                def f(fmt, x0, nn):
+                    def body(i, xc):
+                        return tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
+
+                    return jax.lax.fori_loop(0, nn, body, x0)[0]
+
+                g = jax.jit(f)
+                return lambda: g(fmt2, xr, n)
+
+        # wide endpoint span: at ~340 us/call the n_hi - n_lo = 96
+        # calls put the measured difference (~33 ms) well above the
+        # tunnel's ms-scale jitter (a 20-call span measured 0.56-1.7
+        # Gnnz/s across runs purely from ambient noise)
+        t = periter(mk, 4, 100, reps=4)
+        result["scattered_gnnz_s"] = round(Ar.nnz / t / 1e9, 3)
+
     # ---- fused chain (iterative steady state) ----------------------------
     @stage(result, "chain", 60)
     def _():
@@ -372,60 +480,6 @@ def main():
         if fmt3_2d is None:
             result["trspmv2d_gnnz_s"] = result["trspmv2d_dedicated_gnnz_s"]
 
-    # ---- SpMM (config 4: k = 128 dense RHS) ------------------------------
-    @stage(result, "spmm", 60)
-    def _():
-        from vbcs_tpu.ops import pallas_spmm4 as pm4
-
-        A, B = state["A"], state["B"]
-        k = 128
-        X = jnp.asarray(
-            np.random.default_rng(4).standard_normal((A.shape[0], k)),
-            jnp.float32)
-        fmt4 = pm4.pack_spmm4(B)
-        if fmt4 is not None:
-            result["spmm_kernel"] = "v4"
-            jax.block_until_ready(fmt4.val)
-
-            def mk(n):
-                def f(fmt, X0, nn):
-                    def body(i, Xc):
-                        return (pm4.tr_spmm_pallas4(fmt, Xc)
-                                * jnp.float32(0.999))
-
-                    return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
-
-                g = jax.jit(f)
-                return lambda: g(fmt4, X, n)
-        else:  # degrade to the v3 k-tiled SpMM
-            from vbcs_tpu.ops import pallas_spmm3 as pm3
-
-            result["spmm_kernel"] = "v3"
-            fmt_o = state["fmt_o"]
-
-            def mk(n):
-                def f(fmt, X0, nn):
-                    def body(i, Xc):
-                        return (pm3.tr_spmm_pallas3(fmt, Xc)
-                                * jnp.float32(0.999))
-
-                    return jax.lax.fori_loop(0, nn, body, X0)[0, 0]
-
-                g = jax.jit(f)
-                return lambda: g(fmt_o, X, n)
-
-        t = periter(mk, 3, 23, reps=4)
-        result["spmm_k128_gnnzk_s"] = round(A.nnz * k / t / 1e9, 1)
-        result["spmm_k128_sweep_us"] = round(t * 1e6, 1)
-        # roofline: the running kernel's own value stream once + X and
-        # Y once per sweep (v4's val is 8-padded blocks; v3's is the
-        # chain stream)
-        vbytes = (int(np.prod(fmt4.val.shape)) * 4 if fmt4 is not None
-                  else state["chain_bytes"])
-        bts = vbytes + 2 * A.shape[0] * k * 4
-        result["spmm_k128_vs_roofline"] = round(
-            (A.nnz * k / t) / (A.nnz * k / (bts / bw)), 3)
-
     # ---- scrambled FEM through auto-RCM ---------------------------------
     @stage(result, "fem", 80)
     def _():
@@ -466,60 +520,6 @@ def main():
             else:  # same residency caveat as the flagship chain
                 result["fem_chain_resident_mb"] = round(
                     fem_resident / 2**20, 1)
-
-    # ---- information-free scatter (the "no blocking pays" tier) ----------
-    @stage(result, "scattered", 120)
-    def _():
-        from vbcs_tpu.ops.pallas_scatter import tr_spmv_scatter
-
-        Ar = scattered_matrix().astype(np.float32)
-        t0 = time.perf_counter()
-        op = VBCOperator.from_csc(Ar, W=8)
-        fmt_sc = (op._pallas_scatter("tr")
-                  if op._pallas_tr_oneshot() is False else None)
-        result["scattered_setup_s"] = round(time.perf_counter() - t0, 2)
-        xr = jnp.asarray(
-            np.random.default_rng(4).standard_normal(Ar.shape[0]),
-            jnp.float32)
-        if fmt_sc is not None:
-            # multipass radix-routed kernel (ops/pallas_scatter): the
-            # TPU landing spot where the reference falls back to its
-            # CPU CSC baseline at 0.81 Gnnz/s (src/ref.out:120)
-            result["scattered_kernel"] = "routed_scatter"
-            jax.block_until_ready(fmt_sc.val2d)
-
-            def mk(n):
-                def f(fmt, x0, nn):
-                    def body(i, xc):
-                        return tr_spmv_scatter(fmt, xc) * jnp.float32(0.999)
-
-                    return jax.lax.fori_loop(0, nn, body, x0)[0]
-
-                g = jax.jit(f)
-                return lambda: g(fmt_sc, xr, n)
-        else:  # degrade to the v2 stream kernel
-            from vbcs_tpu.ops.pallas_trspmv2 import tr_spmv_pallas2
-
-            result["scattered_kernel"] = "v2"
-            fmt2 = op._pallas_tr()
-            jax.block_until_ready(fmt2.classes)
-
-            def mk(n):
-                def f(fmt, x0, nn):
-                    def body(i, xc):
-                        return tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
-
-                    return jax.lax.fori_loop(0, nn, body, x0)[0]
-
-                g = jax.jit(f)
-                return lambda: g(fmt2, xr, n)
-
-        # wide endpoint span: at ~340 us/call the n_hi - n_lo = 96
-        # calls put the measured difference (~33 ms) well above the
-        # tunnel's ms-scale jitter (a 20-call span measured 0.56-1.7
-        # Gnnz/s across runs purely from ambient noise)
-        t = periter(mk, 4, 100, reps=4)
-        result["scattered_gnnz_s"] = round(Ar.nnz / t / 1e9, 3)
 
     # ---- informational: measured elementwise STREAM bandwidth ------------
     @stage(result, "stream_bw", 40)
