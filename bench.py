@@ -14,13 +14,17 @@ Prints ONE JSON line:
                  819 GB/s (BASELINE.json target: >= 0.8), counting
                  values + metadata + x + y bytes per call.
 * extras       — the fused-chain steady-state rate (iterative solver
-                 regime: x/y live in VMEM, only val+meta stream, so it
-                 can exceed the one-shot roofline — its own roofline
-                 ``chain_roofline_gnnz_s`` drops the x/y bytes), the
-                 2-D u-blocked kernel, SpMM (k=128), the scrambled-FEM
-                 matrix through auto-RCM, an information-free scattered
-                 matrix (reported honestly: the reference loses to CSC
-                 there too, src/ref.out:120-131), and plan/pack times.
+                 regime: x/y live in VMEM; when the whole val+meta
+                 stream is also VMEM-resident no HBM-stream roofline
+                 applies and ``chain_vs_roofline`` is null with a
+                 ``chain_note``), SpMM v4 (k=128, config 4), the
+                 multipass-routed scattered matrix (the regime where
+                 the reference falls back to CPU CSC,
+                 src/ref.out:120-131 — this build now wins it), the
+                 2-D u-blocked kernel, the scrambled-FEM matrix
+                 through auto-RCM, and plan/pack times.  Stages run in
+                 deliverable-priority order under wall budgets so a
+                 tunnel stall costs the least important rows.
 
 Engineering notes (learned from round-2's rc=124 and this round's
 probes — every rule here exists because its violation cost minutes):
