@@ -63,6 +63,19 @@ def test_dist_oneshot3_matches_scipy(ndev):
     np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
 
 
+def test_refuses_scan_format():
+    # Uniform width-8 stripes but 12 blocks per stripe: pack_stream3
+    # produces a scan-format (has_scan=True, identities=(False,));
+    # _template hardcodes the identity kernel, so shard_oneshot3 must
+    # refuse (it used to accept and silently return wrong y).
+    A = blocky(128, 12, 60, seed=3)
+    B = v.vbc1d(v.CSC.from_scipy(A), 8, v.EquiChunker(8))
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None and (fmt.has_scan
+                                or fmt.identities != (True,))
+    assert d3.shard_oneshot3(B, 2) is None
+
+
 def test_refuses_nonuniform():
     A = blocky(64, 4, 30, seed=2)
     B = v.vbc1d(v.CSC.from_scipy(A), 8,

@@ -88,7 +88,12 @@ def shard_oneshot3(B: VBC1D, ndev: int):
             val=B.val[ofs[s0]:ofs[s1]],
         )
         fmt = pk3.pack_stream3(Bd, mode="nat")
-        if fmt is None or not fmt.natural or fmt.ws != (8,):
+        if (fmt is None or not fmt.natural or fmt.ws != (8,)
+                or fmt.has_scan or fmt.identities != (True,)):
+            # _template hardcodes the identity (scan-free) kernel; a
+            # scan-format shard (any stripe with >8 blocks) would run
+            # the wrong kernel and silently return wrong y — refuse so
+            # the operator falls back to the v2 distributed path.
             return None
         fmts.append(fmt)
 
