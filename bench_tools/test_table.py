@@ -9,9 +9,19 @@ Columns (mirroring bin/test_table.jl:129):
   method      planner used (CSC baseline first)
   setup_s     plan + pack wall time (host)
   memory_B    packed format bytes (host layout)
-  runtime_us  one TrSpMV on the TPU (difference-method timing)
+  runtime_us  one TrSpMV on the TPU through the SHIPPED routing
+              (``operator.route_tr_spmv`` — the exact kernel
+              ``VBCOperator.tr_mul`` dispatches for that plan; the
+              kernel name is printed per row) with difference-method
+              timing.  Round-4 verdict: this column used to time the
+              v2 stream kernel, ~2x below the shipped path — a
+              method-comparison table must measure what users get
+              (reference times the same ``mul!``, bin/test_table.jl:80)
   model       model-predicted cost for the chosen partition
               (min-memory model value; reference prints its time model)
+  pred_us     autotuned-time-model prediction for the partition
+              (reference's fidelity column, bin/test_table.jl:82,124 —
+              predicted vs measured should agree within ~30%)
   gnnz_s      achieved Gnnz/s
 """
 
@@ -53,7 +63,6 @@ def main():
 
     import vbcs_tpu as v
     from vbcs_tpu.models import autotune
-    from vbcs_tpu.ops import pallas_trspmv2 as pk2
     from bench import blocky_matrix
 
     if args.matrix == "synthetic":
@@ -87,6 +96,7 @@ def main():
             v.ConstrainedCost(mdl_blocks, v.VertexCount(), W)), mdl_blocks),
         ("min memory", v.DynamicTotalChunker(mdl_memory, W), mdl_memory),
     ]
+    mdl_time = None
     if not args.no_time_model:
         try:
             mdl_time = autotune.model_1dvbc_trspmv_time(W)
@@ -117,7 +127,8 @@ def main():
         t_csc = measure_runtime_tpu(mk_csc, nnz, lo=1, hi=4, reps=3)
     else:
         t_csc = float("nan")
-    rows.append(("CSC baseline", 0.0, A.memory_bytes(), t_csc, float("nan")))
+    rows.append(("CSC baseline", 0.0, A.memory_bytes(), t_csc,
+                 float("nan"), float("nan")))
 
     mdl_mem2 = v.model_vbc_memory(4, 8)
     methods_2d = [
@@ -148,58 +159,71 @@ def main():
         except Exception as e:
             print(f"[2-D autotune unavailable: {e}]")
 
+    from vbcs_tpu.operator import route_tr_spmv
+
     for label, method, objective in methods:
         t0 = time.perf_counter()
         Phi = v.pack_stripe(A, method)
         B = v.vbc1d(A, W, Phi)
         setup = time.perf_counter() - t0
-        fmt = pk2.pack_stream2(B)
-        y = np.asarray(pk2.tr_spmv_pallas2(fmt, x), np.float64)
+        # time the SHIPPED per-call path for this plan (the kernel
+        # VBCOperator.tr_mul routes), not a fixed kernel generation
+        kname, fmt, call = route_tr_spmv(B)
+        y = np.asarray(call(fmt, x), np.float64)
         assert np.allclose(y, want, rtol=1e-4, atol=1e-4 * max(1, np.abs(want).max())), label
         if A.m == A.n:
             def mk(n_):
-                def f(x0):
+                def f(fmt_, x0, nn):
                     def body(i, xc):
-                        return pk2.tr_spmv_pallas2(fmt, xc) * jnp.float32(0.999)
-                    return jax.lax.fori_loop(0, n_, body, x0)[0]
+                        return call(fmt_, xc) * jnp.float32(0.999)
+                    return jax.lax.fori_loop(0, nn, body, x0)[0]
                 g = jax.jit(f)
-                return lambda: g(x)
+                return lambda: g(fmt, x, n_)
             t_run = measure_runtime_tpu(mk, nnz)
         else:
             t_run = float("nan")
         model_val = v.total_value(A, Phi, objective)
-        rows.append((label, setup, B.memory_bytes(), t_run, model_val))
+        pred_ns = (v.total_value(A, Phi, mdl_time)
+                   if mdl_time is not None else float("nan"))
+        rows.append((f"{label} [{kname}]", setup, B.memory_bytes(),
+                     t_run, model_val, pred_ns))
 
-    from vbcs_tpu.ops import pallas_trspmv2d as pk2d
+    from vbcs_tpu.operator import route_tr_spmv_2d
 
     for label, method, objective in methods_2d:
         t0 = time.perf_counter()
         B2 = v.vbc2d(A, W, W, method)
         setup = time.perf_counter() - t0
-        bundle = pk2d.pack_stream_vbc2d(B2)
-        y = np.asarray(pk2d.tr_spmv_pallas_2d(bundle, x), np.float64)
+        kname, fmt2, call2 = route_tr_spmv_2d(B2)
+        y = np.asarray(call2(fmt2, x), np.float64)
         assert np.allclose(y, want, rtol=1e-4, atol=1e-4 * max(1, np.abs(want).max())), label
         if A.m == A.n:
             def mk(n_):
-                def f(x0):
+                def f(fmt_, x0, nn):
                     def body(i, xc):
-                        return pk2d.tr_spmv_pallas_2d(bundle, xc) * jnp.float32(0.999)
-                    return jax.lax.fori_loop(0, n_, body, x0)[0]
+                        return call2(fmt_, xc) * jnp.float32(0.999)
+                    return jax.lax.fori_loop(0, nn, body, x0)[0]
                 g = jax.jit(f)
-                return lambda: g(x)
+                return lambda: g(fmt2, x, n_)
             t_run = measure_runtime_tpu(mk, nnz)
         else:
             t_run = float("nan")
         model_val = (v.total_value(A, B2.Phi, objective, Pi=B2.Pi)
                      + v.row_component_value(B2.Pi, objective))
-        rows.append((label, setup, B2.memory_bytes(), t_run, model_val))
+        rows.append((f"{label} [{kname}]", setup, B2.memory_bytes(),
+                     t_run, model_val, float("nan")))
 
-    print(f"{'method':24s} {'setup_s':>8s} {'memory_B':>12s} "
-          f"{'runtime_us':>11s} {'gnnz_s':>7s} {'model':>12s}")
-    for label, setup, mem, t_run, model_val in rows:
+    print(f"{'method':38s} {'setup_s':>8s} {'memory_B':>12s} "
+          f"{'runtime_us':>11s} {'gnnz_s':>7s} {'model':>12s} "
+          f"{'pred_us':>8s} {'p/m':>5s}")
+    for label, setup, mem, t_run, model_val, pred_ns in rows:
         g = nnz / t_run / 1e9 if t_run == t_run else float("nan")
-        print(f"{label:24s} {setup:8.3f} {mem:12d} "
-              f"{t_run*1e6:11.1f} {g:7.2f} {model_val:12.0f}")
+        pred_us = pred_ns / 1e3
+        ratio = (pred_us / (t_run * 1e6)
+                 if t_run == t_run and pred_ns == pred_ns else float("nan"))
+        print(f"{label:38s} {setup:8.3f} {mem:12d} "
+              f"{t_run*1e6:11.1f} {g:7.2f} {model_val:12.0f} "
+              f"{pred_us:8.1f} {ratio:5.2f}")
 
 
 if __name__ == "__main__":

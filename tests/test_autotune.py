@@ -27,14 +27,14 @@ ALPHA_COL2 = np.array([8.0, 9.0, 11.0])
 BETA_GRID = np.array([[1.0, 2.0, 3.0], [1.5, 3.5, 6.0]])  # [U, W]
 
 
-def measure_1d(fmt, B, w):
+def measure_1d(B, w):
     L = len(B.Phi)
     q = B.num_blocks
     t_ns = 0.01 * B.m + ALPHA_COL[w - 1] * L + BETA_COL[w - 1] * q
     return t_ns * 1e-9
 
 
-def measure_2d(fmt, B2, u, w):
+def measure_2d(B2, u, w):
     K, L, q = len(B2.Pi), len(B2.Phi), B2.num_blocks
     t_ns = (
         ALPHA_ROW2[u - 1] * K

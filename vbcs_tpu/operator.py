@@ -36,6 +36,52 @@ from .formats.vbc1d import VBC1D, pack_1dvbc
 from .plan.alternating import pack_stripe
 
 
+def route_tr_spmv(B):
+    """The per-call TrSpMV kernel :meth:`VBCOperator.tr_mul` routes for
+    a packed f32 format ``B`` — ``(name, fmt, call)`` with
+    ``call(fmt, x) -> y``.
+
+    Single source of truth for harnesses that must measure the SHIPPED
+    path: ``models/autotune`` fits the time model to this routing and
+    ``bench_tools/test_table`` times it (the reference's fidelity
+    contract times the same ``mul!(y,B',x)`` the autotuner benchmarks,
+    ``src/costs.jl:87-94`` vs ``bin/test_table.jl:80``).  Mirrors the
+    dispatch order in :meth:`VBCOperator.tr_mul`:
+    v3 one-shot -> routed scatter -> v2 stream."""
+    import jax
+
+    from .ops.pallas_scatter import pack_scatter, tr_spmv_scatter
+    from .ops.pallas_trspmv2 import pack_stream2, tr_spmv_pallas2
+    from .ops.pallas_trspmv3 import pack_stream3, tr_spmv_oneshot3
+
+    with jax.ensure_compile_time_eval():
+        fmt3o = pack_stream3(B, mode="nat")
+        if fmt3o is not None:
+            return "v3_oneshot", fmt3o, tr_spmv_oneshot3
+        fmt_sc = pack_scatter(B)
+        if fmt_sc is not None:
+            return "scatter", fmt_sc, tr_spmv_scatter
+        return "v2", pack_stream2(B), tr_spmv_pallas2
+
+
+def route_tr_spmv_2d(B2):
+    """The per-call kernel :meth:`VBC2DOperator.tr_mul` routes for a
+    packed 2-D format ``B2`` — ``(name, fmt, call)``.  Mirrors
+    ``VBC2DOperator._v3_oneshot``'s guard: the v3 exact two-take gather
+    on the 1-D view only when the exit is routable, else the dedicated
+    u-blocked 2-D stream kernel."""
+    import jax
+
+    from .ops.pallas_trspmv2d import pack_stream_vbc2d, tr_spmv_pallas_2d
+    from .ops.pallas_trspmv3 import pack_stream3, tr_spmv_oneshot3
+
+    with jax.ensure_compile_time_eval():
+        fmt3 = pack_stream3(B2.to_1d_view(), mode="nat")
+        if fmt3 is not None and (fmt3.natural or fmt3.exit_plan is not None):
+            return "v3_oneshot", fmt3, tr_spmv_oneshot3
+        return "2d", pack_stream_vbc2d(B2), tr_spmv_pallas_2d
+
+
 def _axpby(out, alpha, beta, y):
     """alpha*out + beta*y with the defaults (None) compiling to nothing."""
     if alpha is not None:
