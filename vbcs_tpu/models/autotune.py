@@ -201,7 +201,7 @@ def autotune_1dvbc_trspmv(
     """
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = json.dumps(
-        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=3)
+        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=4)
     )
     path = os.path.join(
         _CACHE_DIR, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
@@ -252,18 +252,24 @@ def autotune_1dvbc_trspmv(
             # sets grow with w (the narrow-width-wins regime)
             add_sample(_synth_fem(max(64, band // 2)), w)
 
-    # relative-error LSQ on one-hot design (reference src/costs.jl:112-122)
+    # relative-error LSQ on one-hot design (reference src/costs.jl:112-122).
+    # NO m column: the reference's synthetics have m independent of L*w,
+    # but ours are square (m == L*w exactly), which makes an m column
+    # collinear with the L*e_w block — the first TPU fit with it
+    # returned a degenerate w-linear alpha_col (~4.9us*w per stripe)
+    # compensated by a huge negative alpha_row, wrecking the
+    # predicted-vs-measured fidelity column.  The per-stripe alpha
+    # absorbs the row term.
     N = len(ts)
-    D = np.zeros((N, 1 + 2 * W))
+    D = np.zeros((N, 2 * W))
     for i in range(N):
-        D[i, 0] = ms[i]
-        D[i, 1 + ws[i] - 1] = Ls[i]
-        D[i, 1 + W + ws[i] - 1] = qs[i]
+        D[i, ws[i] - 1] = Ls[i]
+        D[i, W + ws[i] - 1] = qs[i]
     T = np.asarray(ts)
     sol, *_ = np.linalg.lstsq(D / T[:, None], np.ones(N), rcond=None)
-    alpha_row = sol[0]
-    alpha = sol[1 : 1 + W].copy()
-    beta = sol[1 + W :].copy()
+    alpha_row = 0.0
+    alpha = sol[:W].copy()
+    beta = sol[W:].copy()
     # monotonize (reference src/costs.jl:127-131)
     for w in range(1, W):
         alpha[w] = max(alpha[w], alpha[w - 1])

@@ -124,16 +124,23 @@ def pack_scatter(B: VBC1D):
     sc = np.clip(-(-cnt // 8), 1, MAX_SUBCOLS)  # lanes per column
     # lane layout: sequential, never crossing a 1024 boundary (so the
     # in-kernel lane scan needs no cross-chunk carry); <= 7 pad lanes
-    # per boundary
+    # per boundary.  Chunk-greedy: each 1024-lane chunk takes the
+    # maximal run of columns whose lane counts sum <= 1024 (equivalent
+    # to the bump-at-boundary walk, but vectorized — one searchsorted
+    # per CHUNK instead of interpreted Python per COLUMN, which grew
+    # linearly in n for the large unstructured matrices this kernel
+    # targets).
     lane_c = np.empty(n, dtype=np.int64)
-    lane = 0
-    for c in range(n):
-        w = int(sc[c])
-        if (lane & 1023) + w > 1024:
-            lane = ((lane >> 10) + 1) << 10
-        lane_c[c] = lane
-        lane += w
-    Np = max(1024, int(-(-lane // 1024) * 1024))
+    csum = np.cumsum(sc, dtype=np.int64)
+    i = 0
+    chunk = 0
+    while i < n:
+        base = csum[i - 1] if i else 0
+        j = int(np.searchsorted(csum, base + 1024, side="right"))
+        lane_c[i:j] = chunk * 1024 + (csum[i:j] - sc[i:j] - base)
+        chunk += 1
+        i = j
+    Np = max(1024, chunk * 1024)
 
     rows2d = np.zeros((8, Np), dtype=np.int64)
     mask2d = np.zeros((8, Np), dtype=bool)
