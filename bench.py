@@ -545,18 +545,15 @@ def run_vbc2d(result):
         x2 = jnp.asarray(
             np.random.default_rng(2).standard_normal(A2.shape[0]),
             jnp.float32)
-        # the 2-D operator's per-call path: v3 exact two-take gather on
-        # the 1-D view (VBC2DOperator.tr_mul does exactly this); the
-        # dedicated u-blocked kernel stays as the fallback + SpMM tiles.
-        # Same guard as VBC2DOperator._v3_oneshot: without a routable
-        # exit, the v3 path lands on the XLA gather (measured 1.11 vs
-        # 20.68 Gnnz/s in r3) and the dedicated kernel must win.
-        fmt3_2d = pk3.pack_stream3(B2.to_1d_view(), mode="nat")
-        if fmt3_2d is not None and not (fmt3_2d.natural
-                                        or fmt3_2d.exit_plan is not None):
-            fmt3_2d = None
-        result["trspmv2d_kernel"] = (
-            "v3_oneshot" if fmt3_2d is not None else "2d")
+        # the 2-D operator's per-call path, via the same routing helper
+        # VBC2DOperator.tr_mul mirrors (v3-on-1-D-view only with a
+        # single-pass exit; multipass exits lose to the dedicated
+        # kernel, measured 5.96 vs 17.9 Gnnz/s on this matrix)
+        from vbcs_tpu.operator import route_tr_spmv_2d
+
+        kname2d, _fmt_routed, _call_routed = route_tr_spmv_2d(B2)
+        fmt3_2d = _fmt_routed if kname2d == "v3_oneshot" else None
+        result["trspmv2d_kernel"] = kname2d
         if fmt3_2d is not None:
             jax.block_until_ready(fmt3_2d.vals)
 
@@ -575,7 +572,8 @@ def run_vbc2d(result):
             t = periter(mk3, 20, 220, reps=6)
             result["trspmv2d_gnnz_s"] = round(A2.nnz / t / 1e9, 2)
 
-        bundle = pk2d.pack_stream_vbc2d(B2)
+        bundle = (_fmt_routed if kname2d == "2d"
+                  else pk2d.pack_stream_vbc2d(B2))
 
         def mk(n):
             def f(bundle, x0, nn):

@@ -75,9 +75,18 @@ def route_tr_spmv_2d(B2):
     from .ops.pallas_trspmv2d import pack_stream_vbc2d, tr_spmv_pallas_2d
     from .ops.pallas_trspmv3 import pack_stream3, tr_spmv_oneshot3
 
+    from .ops.multipass import MultipassPlan
+
     with jax.ensure_compile_time_eval():
         fmt3 = pack_stream3(B2.to_1d_view(), mode="nat")
-        if fmt3 is not None and (fmt3.natural or fmt3.exit_plan is not None):
+        if fmt3 is not None and (
+            fmt3.natural
+            or (fmt3.exit_plan is not None
+                and not isinstance(fmt3.exit_plan, MultipassPlan))
+        ):
+            # single-pass exit only: a u-interleaved 2-D slot map that
+            # needs the multipass radix exit measured 5.96 Gnnz/s vs
+            # the dedicated kernel's 17.9 on the blocky2d bench
             return "v3_oneshot", fmt3, tr_spmv_oneshot3
         return "2d", pack_stream_vbc2d(B2), tr_spmv_pallas_2d
 
@@ -718,24 +727,28 @@ class VBC2DOperator:
 
     def _v3_oneshot(self, which: str):
         """nat-mode v3 stream format of the 1-D view (lazy; False when
-        pack_stream3 refuses the view OR cannot route the slot->natural
-        exit).  The exact two-take gather on the 1-D view is preferred
-        only when the exit is a reshape (natural) or a routed Clos/
-        multipass permute: a u-interleaved 2-D slot map that fails the
-        router would land on the pathological XLA gather (~0.6 GB/s,
-        measured 18x SLOWER than the dedicated kernel on the bench's
-        blocky2d matrix — VERDICT r3 item 2), so those formats keep the
-        dedicated u-blocked 2-D stream kernel instead."""
+        pack_stream3 refuses the view or the slot->natural exit needs
+        the multipass radix permute).  The exact two-take gather on the
+        1-D view is preferred only when the exit is a reshape (natural)
+        or a SINGLE-pass Clos permute; multi-pass exits lose to the
+        dedicated u-blocked kernel (measured 5.96 vs 17.9 Gnnz/s on
+        the bench's blocky2d matrix)."""
         attr = "_v3_tr" if which == "tr" else "_v3_fw"
         cur = getattr(self, attr)
         if cur is None:
+            from .ops.multipass import MultipassPlan
             from .ops.pallas_trspmv3 import pack_stream3
 
             host = self.host_tr if which == "tr" else self.host_fw
             fmt = pack_stream3(host.to_1d_view(), mode="nat")
-            if fmt is not None and not (fmt.natural
-                                        or fmt.exit_plan is not None):
-                fmt = None  # unroutable exit -> XLA gather; dedicated wins
+            if fmt is not None and not (
+                fmt.natural
+                or (fmt.exit_plan is not None
+                    and not isinstance(fmt.exit_plan, MultipassPlan))
+            ):
+                # multi-pass exit: measured 5.96 vs 17.9 Gnnz/s for the
+                # dedicated kernel on the blocky2d bench — dedicated wins
+                fmt = None
             setattr(self, attr, fmt if fmt is not None else False)
             cur = getattr(self, attr)
         return cur if cur is not False else None

@@ -763,10 +763,17 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot",
         exit_idx = eidx.astype(np.int32)
         exit_plan = wg.pack_permute(eidx, T * ns * 8)
         if exit_plan is None:
-            # escalate the window cap before surrendering to the XLA
-            # gather (measured ~40x slower than a 7-window Clos apply
-            # on the RCM'd FEM exit map)
             exit_plan = wg.pack_clos(eidx, T * ns * 8, max_w=MAX_NWIN)
+        if exit_plan is None:
+            # multipass radix permute: routes ANY exit map in <= 4-5
+            # near-HBM-rate passes.  NEVER fall to the XLA gather: it
+            # runs at ~0.6 GB/s, a flat ~280 us on a 40k-row FEM —
+            # round-5 ablation traced the entire "slow multi-group
+            # one-shot" cliff (0.66 vs 8.9 Gnnz/s at w=4) to exactly
+            # this fallback, not to the kernel.
+            from . import multipass as mp
+
+            exit_plan = mp.pack_multipass(eidx, T * ns * 8)
         exit_wi = slot_sub.astype(np.int32)
         exit_lane = slot_lane.astype(np.int32)
 
@@ -1398,8 +1405,14 @@ def entry3(fmt: StreamFormat3, x: jax.Array) -> jax.Array:
 def exit3(fmt: StreamFormat3, out: jax.Array) -> jax.Array:
     """Kernel output -> natural y [n].  Chain natural formats store
     (T*NS, 8) slot-major (flat IS natural y); everything else stores
-    (8, T*NS) sublane-major and exits through the Clos permute."""
+    (8, T*NS) sublane-major and exits through a windowed permute —
+    single-pass Clos when the map routes, multipass radix otherwise
+    (the XLA-gather fallback is dead: ~0.6 GB/s measured)."""
+    from . import multipass as mp
+
     flat = out.reshape(-1)
+    if isinstance(fmt.exit_plan, mp.MultipassPlan):
+        return mp.apply_multipass(fmt.exit_plan, flat)
     if fmt.exit_plan is not None:
         return wg.apply_permute(fmt.exit_plan, flat)
     if fmt.exit_idx is not None:

@@ -40,6 +40,8 @@ __all__ = [
     "HaloPlan",
     "plan_halo",
     "dist_tr_spmv_pallas_halo",
+    "plan_overlap",
+    "dist_tr_spmv_pallas_halo_overlap",
 ]
 
 NS, NG = pk2.NS, pk2.NG
