@@ -98,6 +98,61 @@ def test_dist_pallas_halo_matches_scipy(ndev):
 
 
 @pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_pallas_halo_overlap_matches_scipy(ndev):
+    """Overlapped halo variant: local-window chunks reordered first so
+    they can run while the all_to_all is in flight; correctness on the
+    virtual mesh, overlap realized by XLA's scheduler on real chips.
+
+    Uses a blocky matrix with single-group stripes (straddle-free):
+    runs are single chunks, so whole-run reordering is unconstrained —
+    the banded matrix above has straddle-glued runs mixing local and
+    remote chunks, for which plan_overlap correctly returns k=0."""
+    # 32768 stripes -> 32 chunks (4 per device at ndev=8); each
+    # chunk's windows span ~8-9 x tiles, so the device-interior chunks
+    # are fully local and only boundary chunks read halo tiles
+    L, d, band = 32768, 6, 60
+    rng = np.random.default_rng(2)
+    m = L * 8
+    cs = np.arange(L) * 8 + 4
+    rr = np.clip(cs[:, None] + rng.integers(-band, band, (L, d)), 0, m - 1)
+    rows = np.repeat(rr.reshape(-1), 8)
+    cols = (np.repeat(np.arange(L) * 8, d)[:, None]
+            + np.arange(8)[None, :]).reshape(-1)
+    A = sp.coo_matrix(
+        (rng.standard_normal(rows.size).astype(np.float32),
+         (rows, cols)), shape=(m, m)).tocsc()
+    A.sum_duplicates()
+    B = v.vbc1d(v.CSC.from_scipy(A), 8, v.EquiChunker(8))
+    fmt = pk2.pack_stream2(B)
+    assert fmt.fallback is None
+    sfmt0 = dps.shard_stream(fmt, ndev)
+    sfmt1, k_locals = dps.plan_overlap(sfmt0)
+    # device-interior chunks are fully local on this blocky matrix:
+    # the overlap split must be non-trivial
+    assert any(k > 0 for k in k_locals)
+    halo = dps.plan_halo(sfmt1)
+    mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("d",))
+    sfmt1 = dps.place(sfmt1, mesh)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal(A.shape[0]), jnp.float32
+    )
+    y = np.asarray(jax.jit(
+        lambda s, h, xx: dps.dist_tr_spmv_pallas_halo_overlap(
+            s, h, k_locals, xx, mesh)
+    )(sfmt1, halo, x))
+    want = (A.T @ np.asarray(x)).astype(np.float32)
+    np.testing.assert_allclose(
+        y / np.abs(want).max(), want / np.abs(want).max(), atol=1e-5
+    )
+    # the reordered non-overlap path must also stay correct (the chunk
+    # permutation + y_perm remap is consistent on its own)
+    y2 = np.asarray(dps.dist_tr_spmv_pallas_halo(sfmt1, halo, x, mesh))
+    np.testing.assert_allclose(
+        y2 / np.abs(want).max(), want / np.abs(want).max(), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
 def test_dist_with_fallback_classes(ndev, monkeypatch):
     """Scattered (non-local) classes shard too: v1 fallback chunks are
     distributed with replicated x (VERDICT r1 weak #4 — previously a

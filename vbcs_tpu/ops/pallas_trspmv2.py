@@ -219,6 +219,15 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
     d_of_uniq = np.arange(uniq.size) - start[uv]
     xtile = np.zeros((T * nv, wblk), dtype=np.int32)
     xtile[uv, d_of_uniq] = ut
+    # unused window slots point at the vreg's first USED window (meta
+    # never selects them): re-fetching an already-resident tile beats
+    # DMA-ing tile 0, and the distributed halo/overlap planners read
+    # xtile as "tiles this chunk touches" — phantom tile-0 entries made
+    # every chunk on devices > 0 look non-local (plan_overlap k=0)
+    used = np.zeros((T * nv, wblk), dtype=bool)
+    used[uv, d_of_uniq] = True
+    first = xtile[:, 0]  # slot 0 is used whenever the vreg has any tile
+    xtile = np.where(used, xtile, first[:, None])
     xtile = xtile.reshape(-1)  # [T*nv*wblk], window d of vreg v at v*wblk+d
 
     if real.any():

@@ -466,6 +466,225 @@ def dist_tr_spmv_pallas(
     return flat[sfmt.y_perm]
 
 
+def plan_overlap(sfmt: ShardedStream):
+    """Reorder each device's chunks so device-LOCAL-window chunks come
+    first, enabling halo/compute overlap (SURVEY §5 north star; round-4
+    verdict item 7): chunks whose x-windows all live in the device's
+    own tile range can run while the ``all_to_all`` halo is in flight.
+
+    Only whole straddle-free RUNS move (a straddle carry chains
+    consecutive chunks, so runs must stay contiguous and ordered
+    internally).  Returns ``(sfmt2, k_locals)`` where ``k_locals[ci]``
+    is the per-class STATIC split: chunks ``[0, k)`` are local-window
+    on EVERY device (k = the largest common run boundary <= the
+    smallest per-device local-prefix), chunks ``[k, Td)`` may read
+    halo tiles.  ``y_perm``/``y_plan`` are recomputed for the permuted
+    slot layout; fallback (v1) classes are untouched (they consume the
+    all-gathered x).  Use with :func:`plan_halo` on the RETURNED
+    stream, then :func:`dist_tr_spmv_pallas_halo_overlap`."""
+    D = sfmt.ndev
+    Tx = max(1, -(-sfmt.m // 1024))
+    tpd = -(-Tx // D)
+    nv = NG // 128
+    new_classes = []
+    perms = []
+    k_locals = []
+    for c in sfmt.classes:
+        Td = c.chunks_per_dev
+        xt = np.asarray(c.xtile).reshape(D, Td, nv * c.wblk)
+        stra = np.asarray(c.straddle)
+        order = np.zeros((D, Td), np.int64)
+        kmin = Td
+        for d in range(D):
+            local_chunk = (xt[d] // tpd == d).all(axis=1)
+            runs = []
+            a = 0
+            for i in range(Td):
+                if stra[d, i] == 0:
+                    runs.append((a, i + 1))
+                    a = i + 1
+            if a < Td:
+                runs.append((a, Td))
+            loc = [r for r in runs if bool(local_chunk[r[0]:r[1]].all())]
+            rem = [r for r in runs if not bool(local_chunk[r[0]:r[1]].all())]
+            seq = ([i for r in loc for i in range(r[0], r[1])]
+                   + [i for r in rem for i in range(r[0], r[1])])
+            order[d] = seq
+            kmin = min(kmin, sum(r[1] - r[0] for r in loc))
+        # lower kmin to a run boundary valid on EVERY device: after the
+        # permutation, position j is a boundary on d iff j == 0 or the
+        # chunk at j-1 does not straddle
+        stra_new = np.stack([stra[d][order[d]] for d in range(D)])
+        k = kmin
+        while k > 0 and not bool((stra_new[:, k - 1] == 0).all()):
+            k -= 1
+        perms.append(order)
+        k_locals.append(int(k))
+
+        def permute(arr, per, order=order, Td=Td):
+            a = np.asarray(arr)
+            out = np.empty_like(a)
+            for d in range(D):
+                blocks = a[d].reshape(a[d].shape[:-1] + (Td, per))
+                out[d] = blocks[..., order[d], :].reshape(a[d].shape)
+            return out
+
+        new_classes.append(
+            dataclasses.replace(
+                c,
+                val_i=permute(c.val_i, NG),
+                row_i=permute(c.row_i, NG),
+                gseg=permute(c.gseg, NG),
+                ends=permute(c.ends, NS),
+                xtile=permute(c.xtile, nv * c.wblk),
+                nslots=permute(c.nslots, 1),
+                straddle=permute(c.straddle, 1),
+            ))
+
+    # remap y: old slot (d, class, t, rem) -> (d, class, inv[t], rem)
+    spd = sfmt.slots_per_dev
+    lookup = np.arange(D * spd, dtype=np.int64)
+    off = 0
+    for ci, c in enumerate(sfmt.classes):
+        Td, w = c.chunks_per_dev, c.w
+        blk = NS * w
+        for d in range(D):
+            inv = np.zeros(Td, np.int64)
+            inv[perms[ci][d]] = np.arange(Td)
+            base = d * spd + off
+            idx = (base
+                   + (inv[:, None] * blk
+                      + np.arange(blk)[None, :])).reshape(-1)
+            lookup[base: base + Td * blk] = idx
+        off += Td * blk
+    y_perm_new = lookup[np.asarray(sfmt.y_perm).astype(np.int64)]
+    y_plan = wg.pack_permute(y_perm_new, max(1, D * spd))
+    sfmt2 = dataclasses.replace(
+        sfmt,
+        classes=tuple(new_classes),
+        y_perm=y_perm_new.astype(np.int32),
+        y_plan=y_plan,
+    )
+    return sfmt2, tuple(k_locals)
+
+
+def dist_tr_spmv_pallas_halo_overlap(
+    sfmt: ShardedStream,
+    halo: HaloPlan,
+    k_locals: tuple,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "d",
+):
+    """Halo-exchange TrSpMV with local-window compute issued BETWEEN
+    the all_to_all and its first consumer: chunks ``[0, k)`` of every
+    class read only the device's own x tiles, so XLA's latency-hiding
+    scheduler can run them while the halo is in flight (the plain halo
+    path made every chunk depend on ``recv``).  Requires ``sfmt`` and
+    ``halo`` from :func:`plan_overlap` + :func:`plan_halo`."""
+    D, tpd, H = halo.ndev, halo.tiles_per_dev, halo.hmax
+    xg = (
+        jnp.zeros(D * tpd * 1024, jnp.float32)
+        .at[: sfmt.m]
+        .set(x.astype(jnp.float32))
+        .reshape(D, tpd * 8, 128)
+    )
+
+    from ..ops import pallas_trspmv as pk1
+
+    def slice_cls(c, xtl, lo, hi):
+        nvw = (NG // 128) * c.wblk
+        return pk2.StreamClass2(
+            w=c.w, num_chunks=hi - lo, num_stripes=0, wblk=c.wblk,
+            scan_steps=c.scan_steps, identity=c.identity,
+            val_i=c.val_i[0][:, lo * NG: hi * NG],
+            row_i=c.row_i[0][:, lo * NG: hi * NG],
+            gseg=c.gseg[0][:, lo * NG: hi * NG],
+            ends=c.ends[0][:, lo * NS: hi * NS],
+            xtile=xtl[0][lo * nvw: hi * nvw],
+            nslots=c.nslots[0][lo:hi],
+            straddle=c.straddle[0][lo:hi],
+        )
+
+    def local(cls_shards, fb_shards, fb_plans, xt_locals, x_shard,
+              send_idx):
+        own = x_shard[0]  # [tpd*8, 128]
+        tiles = own.reshape(tpd, 1024)
+        send = tiles[send_idx[0]]
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        # phase 1: local-window chunks — independent of recv
+        outs1, outs2 = [], []
+        for ci, (c, xtl) in enumerate(zip(cls_shards, xt_locals)):
+            k, Td = k_locals[ci], c.chunks_per_dev
+            if k > 0:
+                outs1.append(pk2._run_class2(slice_cls(c, xtl, 0, k), own))
+            else:
+                outs1.append(None)
+        # phase 2: halo chunks — first consumer of recv
+        x2d = jnp.concatenate([own, recv.reshape(D * H * 8, 128)], axis=0)
+        for ci, (c, xtl) in enumerate(zip(cls_shards, xt_locals)):
+            k, Td = k_locals[ci], c.chunks_per_dev
+            if k < Td:
+                outs2.append(pk2._run_class2(slice_cls(c, xtl, k, Td), x2d))
+            else:
+                outs2.append(None)
+        outs = []
+        for o1, o2 in zip(outs1, outs2):
+            parts = [o for o in (o1, o2) if o is not None]
+            outs.append(parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts))
+        if fb_shards:
+            x_full = jax.lax.all_gather(
+                x_shard[0], axis, axis=0, tiled=True
+            ).reshape(-1)[: sfmt.m]
+            for c, gp in zip(fb_shards, fb_plans):
+                local_v1 = pk1.StreamClass(
+                    w=c.w, cq=c.cq, num_chunks=c.chunks_per_dev,
+                    num_stripes=0, val_t=c.val_t[0], row=c.row[0],
+                    seg_rel=c.seg_rel[0], s_last=c.s_last[0],
+                    straddle=c.straddle[0],
+                )
+                if gp is not None:
+                    gl = jax.tree.map(lambda a: a[0], gp)
+                    xg_fb = wg.apply_permute(gl, x_full)
+                else:
+                    xg_fb = x_full[local_v1.row]
+                out = pk1._run_class(local_v1, xg_fb)
+                outs.append(out.T.reshape(-1))
+        return jnp.concatenate(outs)[None, :]
+
+    class_specs = tuple(
+        jax.tree.map(lambda _: P(axis), c, is_leaf=lambda x_: hasattr(x_, "dtype"))
+        for c in sfmt.classes
+    )
+    fb_specs = tuple(
+        jax.tree.map(lambda _: P(axis), c, is_leaf=lambda x_: hasattr(x_, "dtype"))
+        for c in sfmt.fallback
+    )
+    fbg_specs = tuple(
+        jax.tree.map(lambda _: P(axis), g,
+                     is_leaf=lambda x_: hasattr(x_, "dtype"))
+        if g is not None else None
+        for g in sfmt.fb_gather
+    )
+    xt_specs = tuple(P(axis) for _ in halo.xtile_local)
+    slots = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(class_specs, fb_specs, fbg_specs, xt_specs, P(axis),
+                  P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(sfmt.classes, sfmt.fallback, sfmt.fb_gather, halo.xtile_local, xg,
+      halo.send_idx)
+    flat = slots.reshape(-1)
+    if sfmt.y_plan is not None:
+        return wg.apply_permute(sfmt.y_plan, flat)
+    return flat[sfmt.y_perm]
+
+
 # --------------------------------------------------------------------------
 # Halo exchange: shard x too, and move only the 1024-element tiles each
 # device's blocks actually read (SURVEY §5 "distributed communication
