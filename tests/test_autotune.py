@@ -45,7 +45,7 @@ def measure_2d(B2, u, w):
 
 
 def test_autotune_1d_recovers_law():
-    alpha, beta = at.autotune_1dvbc_trspmv(
+    alpha, beta, gamma = at.autotune_1dvbc_trspmv(
         W=W,
         d=4,
         target_bytes=1 << 18,

@@ -141,3 +141,52 @@ def test_constrained_cost_cap():
     )
     Phi = c.partition(A)
     assert Phi.max_width() <= 3
+
+
+def test_dp_gamma_group_term():
+    """gamma_col (per-8-block-group term, TPU extension): the DP must
+    charge ceil(nb/8)*gamma(w) and rank plans accordingly, and
+    total_value must agree with the DP's objective."""
+    import scipy.sparse as sp
+
+    from vbcs_tpu.api import vbc1d
+    from vbcs_tpu.formats.csc import CSC
+    from vbcs_tpu.models.cost import (ColumnBlockComponentCostModel,
+                                      total_value)
+    from vbcs_tpu.plan.dynamic import DynamicTotalChunker
+
+    # 8-column blocks, 26 distinct rows each (4 groups at w=8, 1-2 at
+    # w<=2): with a large gamma, splitting into narrow stripes is
+    # cheaper even though it doubles the stripe count
+    rng = np.random.default_rng(0)
+    Lb, m = 64, 64 * 8
+    rows = []
+    cols = []
+    for b in range(Lb):
+        rr = rng.choice(m, size=26, replace=False)
+        for j in range(8):
+            rows.extend(rr)
+            cols.extend([8 * b + j] * 26)
+    A = CSC.from_scipy(sp.coo_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)),
+        shape=(m, m)).tocsc())
+
+    mdl_flat = ColumnBlockComponentCostModel(
+        alpha_col=1.0, beta_col=0.01)
+    mdl_grp = ColumnBlockComponentCostModel(
+        alpha_col=1.0, beta_col=0.01,
+        gamma_col=np.array([0.1, 0.1, 0.1, 0.1, 100.0, 100.0, 100.0,
+                            100.0]))
+    Phi_flat = DynamicTotalChunker(mdl_flat, 8).partition(A)
+    Phi_grp = DynamicTotalChunker(mdl_grp, 8).partition(A)
+    # flat model: wide stripes amortize alpha; gamma model: width >= 5
+    # costs 100/group -> must stay narrow
+    assert Phi_flat.widths().max() == 8
+    assert Phi_grp.widths().max() <= 4
+    # DP optimality vs the evaluator: the chosen plan's total_value
+    # must not exceed the flat plan's under the gamma model
+    assert (total_value(A, Phi_grp, mdl_grp)
+            <= total_value(A, Phi_flat, mdl_grp) + 1e-9)
+    # stripe_cost includes the group term
+    c = mdl_grp.stripe_cost(8, 26)
+    assert abs(c - (1.0 + 26 * 0.01 + 4 * 100.0)) < 1e-9

@@ -201,20 +201,21 @@ def autotune_1dvbc_trspmv(
     """
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = json.dumps(
-        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=4)
+        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=5)
     )
     path = os.path.join(
         _CACHE_DIR, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
     )
     if cache and os.path.exists(path):
         data = json.load(open(path))
-        return np.asarray(data["alpha"]), np.asarray(data["beta"])
+        return (np.asarray(data["alpha"]), np.asarray(data["beta"]),
+                np.asarray(data["gamma"]))
 
     from ..formats.csc import CSC
     from ..formats.partition import SplitPartition
     from ..formats.vbc1d import pack_1dvbc
 
-    ms, Ls, ws, qs, ts, kernels = [], [], [], [], [], []
+    ms, Ls, ws, qs, Gs, ts, kernels = [], [], [], [], [], [], []
 
     def add_sample(A, w):
         C = CSC.from_scipy(A)
@@ -227,15 +228,18 @@ def autotune_1dvbc_trspmv(
             t, kname = _measure_shipped(B, B.num_blocks * w)
         if t is None:
             return  # drop this sample
+        nb = (B.pos[1:] - B.pos[:-1]).astype(np.int64)
         ms.append(C.m)
         Ls.append(len(B.Phi))
         ws.append(w)
         qs.append(B.num_blocks)
+        Gs.append(int((-(-nb // 8)).sum()))  # 8-block groups (v3 lanes)
         ts.append(t * 1e9)  # ns
         kernels.append(kname)
         if verbose:
             print(
-                f"w={w} L={len(B.Phi)} q={B.num_blocks} t={t*1e6:.1f}us "
+                f"w={w} L={len(B.Phi)} q={B.num_blocks} G={Gs[-1]} "
+                f"t={t*1e6:.1f}us "
                 f"({B.num_blocks*w/t/1e9:.1f} Gnnz/s) [{kname}]"
             )
 
@@ -251,6 +255,11 @@ def autotune_1dvbc_trspmv(
             # FEM-like family: banded Laplacian whose per-stripe row
             # sets grow with w (the narrow-width-wins regime)
             add_sample(_synth_fem(max(64, band // 2)), w)
+            # multi-group banded: nb = 2d+1 > 8 blocks per stripe
+            # decouples the per-GROUP cost from the per-stripe one (on
+            # single-group samples G == L exactly — collinear)
+            Lmg = max(1024, L0 // 3)
+            add_sample(_synth(Lmg, w, 2 * d + 1, band, seed=w * 13), w)
 
     # relative-error LSQ on one-hot design (reference src/costs.jl:112-122).
     # NO m column: the reference's synthetics have m independent of L*w,
@@ -259,38 +268,46 @@ def autotune_1dvbc_trspmv(
     # returned a degenerate w-linear alpha_col (~4.9us*w per stripe)
     # compensated by a huge negative alpha_row, wrecking the
     # predicted-vs-measured fidelity column.  The per-stripe alpha
-    # absorbs the row term.
+    # absorbs the row term.  Third feature block: G = sum ceil(nb/8)
+    # (8-block groups, the v3 kernel's lane-column work unit) — the
+    # only feature that separates a single-group width-8 stripe (the
+    # flagship: fast) from a 4-group FEM width-8 stripe (slow).
     N = len(ts)
-    D = np.zeros((N, 2 * W))
+    D = np.zeros((N, 3 * W))
     for i in range(N):
         D[i, ws[i] - 1] = Ls[i]
         D[i, W + ws[i] - 1] = qs[i]
+        D[i, 2 * W + ws[i] - 1] = Gs[i]
     T = np.asarray(ts)
     sol, *_ = np.linalg.lstsq(D / T[:, None], np.ones(N), rcond=None)
-    alpha_row = 0.0
     alpha = sol[:W].copy()
-    beta = sol[W:].copy()
+    beta = sol[W:2 * W].copy()
+    gamma = sol[2 * W:].copy()
     # monotonize (reference src/costs.jl:127-131)
     for w in range(1, W):
         alpha[w] = max(alpha[w], alpha[w - 1])
         beta[w] = max(beta[w], beta[w - 1])
+        gamma[w] = max(gamma[w], gamma[w - 1])
     alpha = np.maximum(alpha, 0.0)
     beta = np.maximum(beta, 0.0)
+    gamma = np.maximum(gamma, 0.0)
     if cache:
         json.dump(
             {"alpha": alpha.tolist(), "beta": beta.tolist(),
-             "alpha_row": float(alpha_row), "data": dict(
-                 ms=ms, Ls=Ls, ws=ws, qs=qs, ts=ts, kernels=kernels)},
+             "gamma": gamma.tolist(), "data": dict(
+                 ms=ms, Ls=Ls, ws=ws, qs=qs, Gs=Gs, ts=ts,
+                 kernels=kernels)},
             open(path, "w"),
         )
-    return alpha, beta
+    return alpha, beta, gamma
 
 
 def model_1dvbc_trspmv_time(W: int = 8, **kwargs) -> ColumnBlockComponentCostModel:
     """Autotuned time model for the DP (reference
     ``model_SparseMatrix1DVBC_TrSpMV_time``, ``src/costs.jl:12``)."""
-    alpha, beta = autotune_1dvbc_trspmv(W, **kwargs)
-    return ColumnBlockComponentCostModel(alpha_col=alpha, beta_col=beta)
+    alpha, beta, gamma = autotune_1dvbc_trspmv(W, **kwargs)
+    return ColumnBlockComponentCostModel(
+        alpha_col=alpha, beta_col=beta, gamma_col=gamma)
 
 
 def _synth2d(K, u, L, w, d, band, seed):

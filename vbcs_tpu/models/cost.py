@@ -87,25 +87,42 @@ def component_table(c: Component, max_x: int) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class ColumnBlockComponentCostModel:
-    """1-D model: stripe cost = alpha(w) + num_blocks * beta(w).
+    """1-D model: stripe cost = alpha(w) + num_blocks * beta(w)
+    [+ ceil(num_blocks/8) * gamma(w)].
 
     Reference: ``ColumnBlockComponentCostModel{Tv}(alpha_col, beta_col)``;
     built at ``src/costs.jl:10`` (memory) and ``:12`` (autotuned time).
-    """
+
+    ``gamma_col`` is a TPU extension the reference has no analog for:
+    the v3 stream kernel's work unit is the 8-block GROUP (one vreg
+    lane column), so a stripe with nb blocks costs per ceil(nb/8)
+    group on top of the per-block value DMA — without it, a per-width
+    fit cannot simultaneously price a single-group width-8 stripe (the
+    flagship, ~0.05 ns/block) and a 4-group FEM width-8 stripe (~0.3
+    ns/block), and the min-time DP anti-ranks one of the two matrices.
+    Defaults to zero (reference-equivalent behavior)."""
 
     alpha_col: Component
     beta_col: Component
+    gamma_col: Component = 0
 
     def stripe_cost(self, w: int, num_blocks, nnz=0):
-        return component_at(self.alpha_col, w) + num_blocks * component_at(
+        c = component_at(self.alpha_col, w) + num_blocks * component_at(
             self.beta_col, w
         )
+        g = component_at(self.gamma_col, w)
+        if np.any(np.asarray(g) != 0):
+            c = c + -(-np.asarray(num_blocks) // 8) * g
+        return c
 
     def alpha_table(self, W: int) -> np.ndarray:
         return component_table(self.alpha_col, W)
 
     def beta_table(self, W: int) -> np.ndarray:
         return component_table(self.beta_col, W)
+
+    def gamma_table(self, W: int) -> np.ndarray:
+        return component_table(self.gamma_col, W)
 
 
 @dataclasses.dataclass(frozen=True)

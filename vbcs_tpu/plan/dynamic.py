@@ -78,9 +78,17 @@ def _cost_closure(model, W: int, heights: np.ndarray | None):
     if isinstance(model, ColumnBlockComponentCostModel):
         alpha = model.alpha_table(W)
         beta = model.beta_table(W)
+        gamma = model.gamma_table(W)
 
-        def cost_fn(widths, counts, nnzs):
-            return alpha[widths - 1] + counts[0] * beta[widths - 1]
+        if np.any(gamma != 0):
+            # TPU extension: per-8-block-GROUP term (v3 kernel lane
+            # columns); see ColumnBlockComponentCostModel.gamma_col
+            def cost_fn(widths, counts, nnzs):
+                return (alpha[widths - 1] + counts[0] * beta[widths - 1]
+                        + -(-counts[0] // 8) * gamma[widths - 1])
+        else:
+            def cost_fn(widths, counts, nnzs):
+                return alpha[widths - 1] + counts[0] * beta[widths - 1]
 
         return None, cost_fn  # None => unit weights, groups = rows
 
@@ -139,6 +147,11 @@ def _native_tables(model, W, heights):
     C++ DP, or None if the model shape isn't table-expressible."""
     ws = np.arange(1, W + 1, dtype=np.float64)
     if isinstance(model, ColumnBlockComponentCostModel):
+        if np.any(model.gamma_table(W) != 0):
+            # per-8-block-group term: not expressible in the C++ DP's
+            # (alpha, beta, per-pin) tables — use the NumPy path (the
+            # default min-memory planner has gamma=0 and stays native)
+            return None
         return model.alpha_table(W), model.beta_table(W)[None, :], None, None
     if isinstance(model, AffineConnectivityModel):
         return (

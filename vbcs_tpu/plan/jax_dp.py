@@ -117,6 +117,11 @@ def dp_partition_jit(
     cols = _padded_columns(A)
     alpha = component_table(model.alpha_col, W)
     beta = component_table(model.beta_col, W)
+    if np.any(component_table(model.gamma_col, W) != 0):
+        raise NotImplementedError(
+            "gamma_col (per-8-block-group term) is not supported by the "
+            "jittable DP; use DynamicTotalChunker (NumPy/C++ path)"
+        )
     prev, _ = jax.jit(
         dp_partition_jax, static_argnums=(1, 2)
     )(cols, A.m, W, alpha, beta)
