@@ -1,7 +1,10 @@
 """Distributed v3 one-shot over the 8-device CPU mesh (interpret).
 
 Column-stripe sharding of the fast nat-mode one-shot: each device
-runs its column slice, x replicated, y slices concatenated.
+runs its column slice, x replicated, y assembled through one global
+windowed permute.  Round-5 widening: multi-group (scan) formats,
+non-divisible stripe counts, and multi-class (mixed-width) plans all
+shard now; only shards with mismatched class signatures fall back.
 """
 
 import numpy as np
@@ -12,7 +15,9 @@ import scipy.sparse as sp
 from jax.sharding import Mesh
 
 import vbcs_tpu as v
+from vbcs_tpu.ops import multipass as mpm
 from vbcs_tpu.ops import pallas_trspmv3 as pk3
+from vbcs_tpu.ops import windowed_gather as wgm
 from vbcs_tpu.parallel import pallas_spmv3 as d3
 
 
@@ -28,6 +33,7 @@ def interpret_mode(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(pk3.pl, "pallas_call", patched)
+    monkeypatch.setattr(wgm.pl, "pallas_call", patched)
     yield
 
 
@@ -46,12 +52,11 @@ def blocky(L, d, band, seed):
     return A
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
-def test_dist_oneshot3_matches_scipy(ndev):
-    A = blocky(512, 6, 60, seed=1)
-    B = v.vbc1d(v.CSC.from_scipy(A), 8, v.EquiChunker(8))
+def check(A, B, ndev, expect_some=True):
     sfmt = d3.shard_oneshot3(B, ndev)
-    assert sfmt is not None
+    if sfmt is None:
+        assert not expect_some, "shard_oneshot3 unexpectedly refused"
+        return None
     mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("d",))
     sfmt = d3.place3(sfmt, mesh)
     x = jnp.asarray(
@@ -61,25 +66,68 @@ def test_dist_oneshot3_matches_scipy(ndev):
         np.float64)).astype(np.float32)
     scale = max(1e-6, float(np.abs(want).max()))
     np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
+    return sfmt
 
 
-def test_refuses_scan_format():
-    # Uniform width-8 stripes but 12 blocks per stripe: pack_stream3
-    # produces a scan-format (has_scan=True, identities=(False,));
-    # _template hardcodes the identity kernel, so shard_oneshot3 must
-    # refuse (it used to accept and silently return wrong y).
-    A = blocky(128, 12, 60, seed=3)
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_oneshot3_matches_scipy(ndev):
+    A = blocky(512, 6, 60, seed=1)
+    B = v.vbc1d(v.CSC.from_scipy(A), 8, v.EquiChunker(8))
+    sfmt = check(A, B, ndev)
+    assert sfmt is not None and sfmt.natural
+
+
+def test_dist_oneshot3_nondivisible_stripes():
+    # 515 stripes over 2 devices: 257/258 split (the r4 version
+    # demanded divisibility)
+    A = blocky(515, 6, 60, seed=4)
+    B = v.vbc1d(v.CSC.from_scipy(A), 8, v.EquiChunker(8))
+    check(A, B, 2)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_oneshot3_scan_format(ndev):
+    # 12 blocks per stripe -> multi-group scan formats (the r4 version
+    # silently ran the identity kernel on these and returned wrong y;
+    # then refused them; now they shard correctly)
+    # 1024 stripes per shard keeps the shard slot density high enough
+    # for the global exit permute to route (sparse toy shards fall
+    # back to the v2 dist path by design)
+    A = blocky(1024 * ndev, 12, 60, seed=3)
     B = v.vbc1d(v.CSC.from_scipy(A), 8, v.EquiChunker(8))
     fmt = pk3.pack_stream3(B, mode="nat")
-    assert fmt is not None and (fmt.has_scan
-                                or fmt.identities != (True,))
-    assert d3.shard_oneshot3(B, 2) is None
+    assert fmt is not None and fmt.has_scan
+    sfmt = check(A, B, ndev)
+    assert sfmt is not None and sfmt.has_scan
 
 
-def test_refuses_nonuniform():
-    A = blocky(64, 4, 30, seed=2)
+def test_dist_oneshot3_multiclass_plan():
+    # mixed-width plan (widths 4 and 8 alternating everywhere): every
+    # shard sees both classes -> signatures match -> v3 dist runs a
+    # MULTI-CLASS distributed one-shot
+    rng = np.random.default_rng(7)
+    nb_cols = []
+    spl = [0]
+    widths = []
+    for i in range(2048):
+        w = 8 if i % 2 == 0 else 4
+        widths.append(w)
+        spl.append(spl[-1] + w)
+    n = spl[-1]
+    m = n
+    rows, cols, vals = [], [], []
+    for i, w in enumerate(widths):
+        c0 = spl[i]
+        rr = np.clip(c0 + rng.integers(-40, 40, 5), 0, m - 1)
+        for j in range(w):
+            rows.extend(rr)
+            cols.extend([c0 + j] * rr.size)
+            vals.extend(rng.standard_normal(rr.size))
+    A = sp.coo_matrix(
+        (np.asarray(vals, np.float32), (rows, cols)), shape=(m, n)).tocsc()
+    A.sum_duplicates()
     B = v.vbc1d(v.CSC.from_scipy(A), 8,
-                v.DynamicTotalChunker(v.model_1dvbc_memory(4, 8), 8))
-    if (B.Phi.widths() == 8).all():
-        pytest.skip("planner produced uniform-8 anyway")
-    assert d3.shard_oneshot3(B, 2) is None
+                v.SplitPartition(np.asarray(spl, np.int64)))
+    sfmt = check(A, B, 2, expect_some=False)
+    if sfmt is not None:
+        assert len(sfmt.ws) >= 2

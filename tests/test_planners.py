@@ -180,7 +180,7 @@ def test_dp_gamma_group_term():
     Phi_flat = DynamicTotalChunker(mdl_flat, 8).partition(A)
     Phi_grp = DynamicTotalChunker(mdl_grp, 8).partition(A)
     # flat model: wide stripes amortize alpha; gamma model: width >= 5
-    # costs 100/group -> must stay narrow
+    # costs 100 per EXCESS group -> must stay narrow
     assert Phi_flat.widths().max() == 8
     assert Phi_grp.widths().max() <= 4
     # DP optimality vs the evaluator: the chosen plan's total_value
@@ -189,4 +189,4 @@ def test_dp_gamma_group_term():
             <= total_value(A, Phi_flat, mdl_grp) + 1e-9)
     # stripe_cost includes the group term
     c = mdl_grp.stripe_cost(8, 26)
-    assert abs(c - (1.0 + 26 * 0.01 + 4 * 100.0)) < 1e-9
+    assert abs(c - (1.0 + 26 * 0.01 + 3 * 100.0)) < 1e-9

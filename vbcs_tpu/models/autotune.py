@@ -201,7 +201,7 @@ def autotune_1dvbc_trspmv(
     """
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = json.dumps(
-        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=5)
+        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=6)
     )
     path = os.path.join(
         _CACHE_DIR, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
@@ -233,12 +233,12 @@ def autotune_1dvbc_trspmv(
         Ls.append(len(B.Phi))
         ws.append(w)
         qs.append(B.num_blocks)
-        Gs.append(int((-(-nb // 8)).sum()))  # 8-block groups (v3 lanes)
+        Gs.append(int(np.maximum(-(-nb // 8) - 1, 0).sum()))  # EXCESS groups
         ts.append(t * 1e9)  # ns
         kernels.append(kname)
         if verbose:
             print(
-                f"w={w} L={len(B.Phi)} q={B.num_blocks} G={Gs[-1]} "
+                f"w={w} L={len(B.Phi)} q={B.num_blocks} E={Gs[-1]} "
                 f"t={t*1e6:.1f}us "
                 f"({B.num_blocks*w/t/1e9:.1f} Gnnz/s) [{kname}]"
             )
@@ -268,10 +268,12 @@ def autotune_1dvbc_trspmv(
     # returned a degenerate w-linear alpha_col (~4.9us*w per stripe)
     # compensated by a huge negative alpha_row, wrecking the
     # predicted-vs-measured fidelity column.  The per-stripe alpha
-    # absorbs the row term.  Third feature block: G = sum ceil(nb/8)
-    # (8-block groups, the v3 kernel's lane-column work unit) — the
-    # only feature that separates a single-group width-8 stripe (the
-    # flagship: fast) from a 4-group FEM width-8 stripe (slow).
+    # absorbs the row term.  Third feature block: E = sum
+    # max(ceil(nb/8) - 1, 0) (EXCESS 8-block groups — multi-group
+    # stripes drag the scan/straddle machinery) — the only feature
+    # that separates a single-group width-8 stripe (the flagship:
+    # fast) from a 4-group FEM width-8 stripe (slow); charging TOTAL
+    # groups forced a negative alpha that clipping re-broke.
     N = len(ts)
     D = np.zeros((N, 3 * W))
     for i in range(N):

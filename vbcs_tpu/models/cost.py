@@ -88,18 +88,21 @@ def component_table(c: Component, max_x: int) -> np.ndarray:
 @dataclasses.dataclass(frozen=True)
 class ColumnBlockComponentCostModel:
     """1-D model: stripe cost = alpha(w) + num_blocks * beta(w)
-    [+ ceil(num_blocks/8) * gamma(w)].
+    [+ max(ceil(num_blocks/8) - 1, 0) * gamma(w)].
 
     Reference: ``ColumnBlockComponentCostModel{Tv}(alpha_col, beta_col)``;
     built at ``src/costs.jl:10`` (memory) and ``:12`` (autotuned time).
 
     ``gamma_col`` is a TPU extension the reference has no analog for:
     the v3 stream kernel's work unit is the 8-block GROUP (one vreg
-    lane column), so a stripe with nb blocks costs per ceil(nb/8)
-    group on top of the per-block value DMA — without it, a per-width
+    lane column), and stripes with MORE than one group additionally
+    drag the segmented-scan + straddle-carry machinery.  gamma charges
+    each EXCESS group (the first is in alpha): without it, a per-width
     fit cannot simultaneously price a single-group width-8 stripe (the
-    flagship, ~0.05 ns/block) and a 4-group FEM width-8 stripe (~0.3
-    ns/block), and the min-time DP anti-ranks one of the two matrices.
+    flagship, fast) and a 4-group FEM width-8 stripe (~6x costlier per
+    group), and the min-time DP anti-ranks one of the two matrices —
+    with a per-TOTAL-group term the fit needed a negative alpha and
+    clipping re-broke the ranking; the excess form stays nonnegative.
     Defaults to zero (reference-equivalent behavior)."""
 
     alpha_col: Component
@@ -112,7 +115,8 @@ class ColumnBlockComponentCostModel:
         )
         g = component_at(self.gamma_col, w)
         if np.any(np.asarray(g) != 0):
-            c = c + -(-np.asarray(num_blocks) // 8) * g
+            excess = np.maximum(-(-np.asarray(num_blocks) // 8) - 1, 0)
+            c = c + excess * g
         return c
 
     def alpha_table(self, W: int) -> np.ndarray:

@@ -81,11 +81,13 @@ def _cost_closure(model, W: int, heights: np.ndarray | None):
         gamma = model.gamma_table(W)
 
         if np.any(gamma != 0):
-            # TPU extension: per-8-block-GROUP term (v3 kernel lane
-            # columns); see ColumnBlockComponentCostModel.gamma_col
+            # TPU extension: per-EXCESS-8-block-group term (v3 kernel
+            # lane columns beyond the first per stripe); see
+            # ColumnBlockComponentCostModel.gamma_col
             def cost_fn(widths, counts, nnzs):
+                excess = np.maximum(-(-counts[0] // 8) - 1, 0)
                 return (alpha[widths - 1] + counts[0] * beta[widths - 1]
-                        + -(-counts[0] // 8) * gamma[widths - 1])
+                        + excess * gamma[widths - 1])
         else:
             def cost_fn(widths, counts, nnzs):
                 return alpha[widths - 1] + counts[0] * beta[widths - 1]
