@@ -22,9 +22,11 @@ Differences from the reference, by design:
   params) — the analog of the reference's ``arch_id()``-keyed
   DiskCache (``src/util.jl:52``, ``src/costs.jl:14``).
 
-The fit model (mirroring the reference design matrix at
-``src/costs.jl:112-122``):  t(matrix) ~ alpha_row * m + alpha_col[w] * L
-+ beta_col[w] * q  for a width-w matrix with L stripes and q blocks.
+The fit model (the reference design matrix at ``src/costs.jl:112-122``
+plus the per-excess-group TPU term):
+``t ~ alpha_col[w] * L + beta_col[w] * q + gamma_col[w] * E`` for a
+width-w matrix with L stripes, q blocks, and E = sum max(ceil(nb/8)-1,
+0) excess 8-block groups.
 """
 
 from __future__ import annotations
@@ -201,7 +203,7 @@ def autotune_1dvbc_trspmv(
     """
     os.makedirs(_CACHE_DIR, exist_ok=True)
     key = json.dumps(
-        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=6)
+        dict(W=W, d=d, tb=target_bytes, band=band, arch=_arch_id(), v=7)
     )
     path = os.path.join(
         _CACHE_DIR, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
@@ -285,11 +287,14 @@ def autotune_1dvbc_trspmv(
     alpha = sol[:W].copy()
     beta = sol[W:2 * W].copy()
     gamma = sol[2 * W:].copy()
-    # monotonize (reference src/costs.jl:127-131)
-    for w in range(1, W):
-        alpha[w] = max(alpha[w], alpha[w - 1])
-        beta[w] = max(beta[w], beta[w - 1])
-        gamma[w] = max(gamma[w], gamma[w - 1])
+    # NO width-monotonization (deliberate departure from the reference
+    # discipline, src/costs.jl:127-131): on the CPU a wider stripe
+    # always costs more per stripe, but the v3 kernel's width classes
+    # are lane-padded — w=8 is the sweet spot and w=5..7 are genuinely
+    # 2-3x COSTLIER per stripe (measured), so forcing alpha[8] >=
+    # alpha[7] lifted the flagship's width-8 cost 10x above its
+    # measurement and the min-time DP stopped picking it.  Clip at >= 0
+    # only.
     alpha = np.maximum(alpha, 0.0)
     beta = np.maximum(beta, 0.0)
     gamma = np.maximum(gamma, 0.0)

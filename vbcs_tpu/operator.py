@@ -82,11 +82,13 @@ def route_tr_spmv_2d(B2):
         if fmt3 is not None and (
             fmt3.natural
             or (fmt3.exit_plan is not None
-                and not isinstance(fmt3.exit_plan, MultipassPlan))
+                and not isinstance(fmt3.exit_plan, MultipassPlan)
+                and not fmt3.slot_store)
         ):
-            # single-pass exit only: a u-interleaved 2-D slot map that
-            # needs the multipass radix exit measured 5.96 Gnnz/s vs
-            # the dedicated kernel's 17.9 on the blocky2d bench
+            # free-store single-pass exit only: a u-interleaved 2-D
+            # slot map needing the multipass exit measured 5.96 Gnnz/s
+            # and the slot-store Eklundh exit 10.0, vs the dedicated
+            # kernel's 17.7-18.6 on the blocky2d bench
             return "v3_oneshot", fmt3, tr_spmv_oneshot3
         return "2d", pack_stream_vbc2d(B2), tr_spmv_pallas_2d
 
@@ -744,10 +746,12 @@ class VBC2DOperator:
             if fmt is not None and not (
                 fmt.natural
                 or (fmt.exit_plan is not None
-                    and not isinstance(fmt.exit_plan, MultipassPlan))
+                    and not isinstance(fmt.exit_plan, MultipassPlan)
+                    and not fmt.slot_store)
             ):
-                # multi-pass exit: measured 5.96 vs 17.9 Gnnz/s for the
-                # dedicated kernel on the blocky2d bench — dedicated wins
+                # multi-pass exit measured 5.96, slot-store Eklundh
+                # exit 10.0 vs the dedicated kernel's 17.7-18.6 Gnnz/s
+                # on the blocky2d bench — dedicated wins
                 fmt = None
             setattr(self, attr, fmt if fmt is not None else False)
             cur = getattr(self, attr)

