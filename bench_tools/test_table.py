@@ -41,8 +41,11 @@ def measure_runtime_tpu(build_chain, nnz, lo=20, hi=120, reps=6):
 
     if nnz < 100_000:  # tiny matrices: ~us/call needs long chains to
         lo, hi = 400, 4400  # clear the tunnel's ~ms noise floor
-    t = periter(build_chain, lo, hi, reps=reps)
-    return t if t > 2e-8 else float("nan")
+    for _ in range(3):  # retry sub-floor readings (ambient drift can
+        t = periter(build_chain, lo, hi, reps=reps)  # flip a diff sign)
+        if t > 2e-8:
+            return t
+    return float("nan")
 
 
 def main():

@@ -109,7 +109,8 @@ def _pf64(a):
 
 
 def dp_partition_native(
-    n, num_groups, pos, grp, W, alpha_tab, beta_tabs, gamma_tab, weights
+    n, num_groups, pos, grp, W, alpha_tab, beta_tabs, gamma_tab, weights,
+    delta_tab=None,
 ):
     """Run the native DP; returns split points or None if unavailable."""
     lib = get_lib()
@@ -131,6 +132,11 @@ def dp_partition_native(
         if weights is not None
         else None
     )
+    d = (
+        np.ascontiguousarray(delta_tab, dtype=np.float64)
+        if delta_tab is not None
+        else None
+    )
     out_spl = np.zeros(n + 2, dtype=np.int64)
     out_len = np.zeros(1, dtype=np.int64)
     lib.dp_partition(
@@ -144,6 +150,7 @@ def dp_partition_native(
         _pf64(beta_flat),
         _pf64(g),
         _pf64(wts),
+        _pf64(d),
         _p64(out_spl),
         _p64(out_len),
     )

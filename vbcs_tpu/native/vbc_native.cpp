@@ -40,6 +40,10 @@ extern "C" {
 //   beta_tabs[R*W]   per-width per-distinct-group cost, R major
 //   gamma_tab[W]     per-width per-nonzero cost (may be null)
 //   weights[R*num_groups] counter weights (may be null => unit, R=1)
+//   delta_tab[W]     per-width per-EXCESS-8-block-group cost (may be
+//                    null; charges max(ceil(distinct/8) - 1, 0) — the
+//                    v3 kernel's multi-group scan/straddle machinery;
+//                    only meaningful with unit weights, R = 1)
 //   out_spl[n+1] resulting split points (0-based), out_len the count+1
 //
 // Tie-break: narrowest stripe wins (first minimum over widths 1..W).
@@ -47,6 +51,7 @@ void dp_partition(int64_t n, int64_t num_groups, const int64_t* pos,
                   const int64_t* grp, int64_t W, int64_t R,
                   const double* alpha_tab, const double* beta_tabs,
                   const double* gamma_tab, const double* weights,
+                  const double* delta_tab,
                   int64_t* out_spl, int64_t* out_len) {
   std::vector<int64_t> lst(static_cast<size_t>(num_groups > 0 ? num_groups : 1),
                            -1);
@@ -92,6 +97,12 @@ void dp_partition(int64_t n, int64_t num_groups, const int64_t* pos,
       for (int64_t r = 0; r < R; ++r) cost += a[r] * beta_tabs[r * W + wdt - 1];
       if (gamma_tab)
         cost += gamma_tab[wdt - 1] * static_cast<double>(pos[jp] - pos[j]);
+      if (delta_tab) {
+        const int64_t nb = static_cast<int64_t>(a[0] + 0.5);
+        const int64_t excess = (nb + 7) / 8 - 1;
+        if (excess > 0)
+          cost += delta_tab[wdt - 1] * static_cast<double>(excess);
+      }
       if (cost < best) {
         best = cost;
         best_j = j;

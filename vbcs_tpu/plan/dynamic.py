@@ -145,27 +145,29 @@ def _cost_closure(model, W: int, heights: np.ndarray | None):
 
 
 def _native_tables(model, W, heights):
-    """(alpha_tab, beta_tabs [R,W], gamma_tab|None, weights|None) for the
-    C++ DP, or None if the model shape isn't table-expressible."""
+    """(alpha_tab, beta_tabs [R,W], gamma_tab|None, weights|None,
+    delta_tab|None) for the C++ DP, or None if the model shape isn't
+    table-expressible.  delta charges per EXCESS 8-block group (the
+    gamma_col TPU extension)."""
     ws = np.arange(1, W + 1, dtype=np.float64)
     if isinstance(model, ColumnBlockComponentCostModel):
-        if np.any(model.gamma_table(W) != 0):
-            # per-8-block-group term: not expressible in the C++ DP's
-            # (alpha, beta, per-pin) tables — use the NumPy path (the
-            # default min-memory planner has gamma=0 and stays native)
-            return None
-        return model.alpha_table(W), model.beta_table(W)[None, :], None, None
+        gam = model.gamma_table(W)
+        delta = gam if np.any(gam != 0) else None
+        return (model.alpha_table(W), model.beta_table(W)[None, :], None,
+                None, delta)
     if isinstance(model, AffineConnectivityModel):
         return (
             model.alpha + model.beta_vertex * ws,
             np.full((1, W), float(model.beta_net)),
             np.full(W, float(model.beta_pin)),
             None,
+            None,
         )
     if isinstance(model, AffineFillNetCostModel):
         return (
             model.alpha + model.beta_vertex * ws,
             (model.beta_net + model.beta_fill * ws)[None, :],
+            None,
             None,
             None,
         )
@@ -179,7 +181,7 @@ def _native_tables(model, W, heights):
                 for c in model.beta_row
             ]
         )
-        return alpha, betas, None, weights
+        return alpha, betas, None, weights, None
     return None
 
 
@@ -215,9 +217,10 @@ def dp_partition(
             ng = m
         tabs = _native_tables(model, W, hts)
         if tabs is not None:
-            alpha_tab, beta_tabs, gamma_tab, weights = tabs
+            alpha_tab, beta_tabs, gamma_tab, weights, delta_tab = tabs
             spl = dp_partition_native(
-                n, ng, pos, grp, W, alpha_tab, beta_tabs, gamma_tab, weights
+                n, ng, pos, grp, W, alpha_tab, beta_tabs, gamma_tab,
+                weights, delta_tab,
             )
             if spl is not None:
                 return SplitPartition(spl)
