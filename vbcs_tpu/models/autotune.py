@@ -182,8 +182,13 @@ def autotune_1dvbc_trspmv(
     verbose: bool = False,
     cache: bool = True,
     measure=None,
+    require_cache: bool = False,
 ):
     """Measure + fit; returns (alpha_col[W], beta_col[W]) tables (ns).
+
+    ``require_cache=True`` raises FileNotFoundError instead of running
+    the on-device measurement when no disk cache exists (used by the
+    default planner, which must never trigger a multi-minute autotune).
 
     ``measure(B, w) -> seconds | None`` overrides the on-device timing
     (used by tests to exercise the fit pipeline CPU-only).
@@ -212,6 +217,9 @@ def autotune_1dvbc_trspmv(
         data = json.load(open(path))
         return (np.asarray(data["alpha"]), np.asarray(data["beta"]),
                 np.asarray(data["gamma"]))
+    if require_cache:
+        raise FileNotFoundError(
+            f"no cached autotune tables for this device ({path})")
 
     from ..formats.csc import CSC
     from ..formats.partition import SplitPartition

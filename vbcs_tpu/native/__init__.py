@@ -64,7 +64,7 @@ def get_lib():
         lib.dp_partition.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, i64p,
             ctypes.c_int64, ctypes.c_int64, f64p, f64p, f64p, f64p,
-            i64p, i64p,
+            f64p, i64p, i64p,
         ]
         lib.pack_1dvbc_count.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, i64p,

@@ -93,16 +93,23 @@ void dp_partition(int64_t n, int64_t num_groups, const int64_t* pos,
     for (int64_t wdt = 1; wdt <= W_eff; ++wdt) {
       const int64_t j = jp - wdt;
       for (int64_t r = 0; r < R; ++r) a[r] += cnt[r * n + j];
-      double cost = opt[j] + alpha_tab[wdt - 1];
-      for (int64_t r = 0; r < R; ++r) cost += a[r] * beta_tabs[r * W + wdt - 1];
+      // stripe cost accumulated FIRST, opt[j] added LAST — the exact
+      // float-addition order of the NumPy oracle's
+      // ``opt[j] + cost_fn(...)`` (integer-valued tables masked the
+      // difference; the fitted time model's fractional tables exposed
+      // tie flips between the two orders)
+      double stripe = alpha_tab[wdt - 1];
+      for (int64_t r = 0; r < R; ++r)
+        stripe += a[r] * beta_tabs[r * W + wdt - 1];
       if (gamma_tab)
-        cost += gamma_tab[wdt - 1] * static_cast<double>(pos[jp] - pos[j]);
+        stripe += gamma_tab[wdt - 1] * static_cast<double>(pos[jp] - pos[j]);
       if (delta_tab) {
         const int64_t nb = static_cast<int64_t>(a[0] + 0.5);
         const int64_t excess = (nb + 7) / 8 - 1;
         if (excess > 0)
-          cost += delta_tab[wdt - 1] * static_cast<double>(excess);
+          stripe += delta_tab[wdt - 1] * static_cast<double>(excess);
       }
+      const double cost = opt[j] + stripe;
       if (cost < best) {
         best = cost;
         best_j = j;
