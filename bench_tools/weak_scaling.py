@@ -11,7 +11,19 @@ cover N=1; the N>1 rows exercise the same code on a virtual CPU mesh
 (`JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`)
 where times are *not* meaningful — the harness is written for a pod.
 
-Usage: python bench_tools/weak_scaling.py [--l0 10000] [--w 8] [--halo]
+Because N>1 wall times cannot be measured here, the harness ALSO emits
+an ANALYTIC weak-scaling model per device count, built entirely from
+quantities this environment does measure: per-device compute time =
+(nnz/N) / single-chip rate (the measured N=1 row on TPU, or --rate),
+and halo time = per-device halo bytes (exact, from the static halo
+plan) / --ici-gbs.  Modeled efficiency is reported for the sequential
+halo path (compute + comm) and the overlapped path (max(compute,
+comm) — `plan_overlap` lets XLA hide the exchange behind local-window
+chunks).  The ICI figure is an assumption, stated in the output, not a
+measurement.
+
+Usage: python bench_tools/weak_scaling.py [--l0 10000] [--w 8]
+       [--rate GNNZ_S] [--ici-gbs 90]
 """
 
 import argparse
@@ -29,9 +41,21 @@ def main():
     ap.add_argument("--w", type=int, default=8)
     ap.add_argument("--d", type=int, default=8, help="blocks per stripe")
     ap.add_argument("--band", type=int, default=400)
+    ap.add_argument("--rate", type=float, default=None,
+                    help="single-chip Gnnz/s for the analytic model "
+                         "(default: the measured N=1 row on TPU, else "
+                         "the archived flagship 104)")
+    ap.add_argument("--ici-gbs", type=float, default=90.0,
+                    help="assumed per-device ICI bandwidth, GB/s "
+                         "(v5e-class; an assumption, not a measurement)")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin ignores the env var; force through config
+        # (same workaround as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import vbcs_tpu as v
@@ -76,11 +100,19 @@ def main():
         x = jnp.asarray(
             np.random.default_rng(1).standard_normal(A.shape[0]), jnp.float32
         )
+        sfmt_ov0, k_locals = dps.plan_overlap(sfmt0)
+        halo_ov = dps.plan_halo(sfmt_ov0)
+        sfmt_ov = dps.place(sfmt_ov0, mesh)
         for path, fn in (
             ("replicated", lambda xx: dps.dist_tr_spmv_pallas(sfmt, xx, mesh)),
             (
                 "tile-halo",
                 lambda xx: dps.dist_tr_spmv_pallas_halo(sfmt, halo, xx, mesh),
+            ),
+            (
+                "halo-overlap",
+                lambda xx: dps.dist_tr_spmv_pallas_halo_overlap(
+                    sfmt_ov, halo_ov, k_locals, xx, mesh),
             ),
         ):
             def mk(n_, fn=fn):
@@ -112,9 +144,47 @@ def main():
                 platform=jax.devices()[0].platform,
             ))
 
+    # ---- analytic model (the honest N>1 story on a 1-chip box) ----------
+    rate0 = args.rate
+    if rate0 is None:
+        tpu_n1 = [r for r in rows_json
+                  if r["ndev"] == 1 and r["platform"] == "tpu"
+                  and 1.0 <= r["gnnz_s"] <= 250.0]  # drop drift artifacts
+        rate0 = tpu_n1[0]["gnnz_s"] if tpu_n1 else 104.0
+    ici = args.ici_gbs * 1e9
+    model_rows = []
+    print(f"\nanalytic model: single-chip rate {rate0:.1f} Gnnz/s "
+          f"(measured), ICI {args.ici_gbs:.0f} GB/s (ASSUMED)")
+    print(f"{'N':>3s} {'compute_us':>11s} {'halo_us':>8s} "
+          f"{'eff_seq':>8s} {'eff_overlap':>11s}")
+    for r in rows_json:
+        if r["path"] != "tile-halo":
+            continue
+        ndev = r["ndev"]
+        nnz_dev = r["nnz"] / ndev
+        t_comp = nnz_dev / (rate0 * 1e9)
+        t_halo = (r["halo_kib"] * 1024) / ici
+        eff_seq = t_comp / (t_comp + t_halo)
+        eff_ov = t_comp / max(t_comp, t_halo)
+        print(f"{ndev:3d} {t_comp*1e6:11.2f} {t_halo*1e6:8.2f} "
+              f"{eff_seq:8.3f} {eff_ov:11.3f}")
+        model_rows.append(dict(
+            ndev=ndev, compute_us=round(t_comp * 1e6, 2),
+            halo_us=round(t_halo * 1e6, 2),
+            modeled_eff_sequential=round(eff_seq, 3),
+            modeled_eff_overlapped=round(eff_ov, 3),
+        ))
+
     import json
 
-    print(json.dumps({"weak_scaling": rows_json}))
+    print(json.dumps({
+        "weak_scaling": rows_json,
+        "analytic_model": dict(
+            single_chip_gnnz_s=rate0,
+            ici_gb_s_assumed=args.ici_gbs,
+            rows=model_rows,
+        ),
+    }))
 
 
 if __name__ == "__main__":

@@ -29,21 +29,15 @@ __all__ = [
 
 
 def default_1d_partitioner(W: int, val_itemsize: int = 8, idx_itemsize: int = 8):
-    """Min-TIME DP when a cached autotuned time model exists for this
-    device (the paper's headline behavior — the reference's harness
-    plans with ``model_SparseMatrix1DVBC_TrSpMV_time``), else the
-    min-memory DP (reference ``default_partitioner`` at
-    ``src/constructors_1DVBC.jl:1-2``).  The time model is only used
-    from its disk cache — the default path never triggers the
-    multi-minute on-device autotune."""
-    if W == 8:  # the autotuned tables are fit for the production W
-        try:
-            from .models.autotune import model_1dvbc_trspmv_time
-
-            return DynamicTotalChunker(
-                model_1dvbc_trspmv_time(W, require_cache=True), W)
-        except Exception:
-            pass
+    """Min-memory DP (reference ``default_partitioner`` at
+    ``src/constructors_1DVBC.jl:1-2`` — the reference also defaults to
+    its MEMORY model; the autotuned min-time model is a harness-level
+    choice there, ``bin/test_table.jl:50-52``, and here:
+    ``DynamicTotalChunker(model_1dvbc_trspmv_time(W), W)``, loadable
+    cache-only via ``require_cache=True``).  Measured reason to keep
+    that split (TABLE_r05): on the RCM'd FEM the min-memory plan is
+    within the time model's ~1.4x fidelity band of min-time's, and on
+    narrow-margin calls the byte-exact model is the steadier default."""
     return DynamicTotalChunker(model_1dvbc_memory(val_itemsize, idx_itemsize), W)
 
 
