@@ -2,7 +2,23 @@
 with component timings (entry transpose, grid, exit), on the real chip.
 
 Decides which format the per-call op should use (VERDICT r2 item 4:
-one-shot >= 0.8x roofline)."""
+one-shot >= 0.8x roofline).
+
+CONCLUSIONS from the retired probe_oneshot3{b,c,d,e} variants (pruned
+in round 5; their findings live in ops/pallas_trspmv3.py's design
+notes and here):
+  * b (component split): pad+reshape entry is ~free; the gather grid
+    dominates; the exit transpose measured ~37 us/call fused with the
+    next call's pad -> replaced by the Eklundh padded store (natural)
+    and the Clos/slot-store exits (non-natural).
+  * c (layered serial chains): the bench's chained number composes
+    linearly from the layers; no hidden pipeline stall between calls.
+  * d: window-count sensitivity — nat-mode nwin 4 vs slot-mode 1-2 on
+    the flagship; per-window gather cost ~50 ns/(vreg window).
+  * e ((K, T) grid): per-launch overhead ~3-4 us; amortized to zero in
+    the fused chain, the dominant per-call term only on tiny matrices
+    (see TABLE_r05 can_292 notes).
+"""
 
 import os
 import sys
