@@ -220,3 +220,48 @@ def test_beta_posthoc_nonnatural():
             + 0.75 * y0.astype(np.float64)).astype(np.float32)
     scale = max(1e-6, np.abs(want).max())
     np.testing.assert_allclose(out / scale, want / scale, atol=2e-5)
+
+
+def test_slot_store_exit_w5_multigroup():
+    """w=5 multi-group FEM-like format: the sublane-major exit needs
+    w+1 windows per output segment (unroutable single-pass), so pack
+    chooses the slot-major Eklundh store whose exit map (flat =
+    8*slot + wi) routes in one pass — never the XLA gather (the
+    round-5 root cause of the 0.66 Gnnz/s multi-group cliff)."""
+    from vbcs_tpu.ops import multipass as mpm
+    from vbcs_tpu.ops import windowed_gather as wgm
+
+    k = 48
+    n = k * k
+    A = sp.diags(
+        [np.full(n, 4.0), -np.ones(n - 1), -np.ones(n - 1),
+         -np.ones(n - k), -np.ones(n - k)],
+        [0, 1, -1, k, -k], format="csc").astype(np.float32)
+    B = v.vbc1d(v.CSC.from_scipy(A), 8,
+                v.SplitPartition(np.arange(0, n + 1, 5)[
+                    : n // 5 + 1] if n % 5 == 0 else
+                    np.concatenate([np.arange(0, n, 5), [n]])))
+    fmt = pk3.pack_stream3(B, mode="nat")
+    assert fmt is not None
+    assert fmt.slot_store, "w=5 multi-group should take the slot store"
+    assert not isinstance(fmt.exit_plan, mpm.MultipassPlan)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n).astype(np.float32)
+    # the exit permute kernel needs interpret too
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kk):
+        kk["interpret"] = True
+        kk.pop("compiler_params", None)
+        return orig(*a, **kk)
+
+    wgm.pl.pallas_call = patched
+    try:
+        y = np.asarray(pk3.tr_spmv_oneshot3(fmt, jnp.asarray(x)))
+    finally:
+        wgm.pl.pallas_call = orig
+    want = (A.T @ x.astype(np.float64)).astype(np.float32)
+    scale = max(1e-6, np.abs(want).max())
+    np.testing.assert_allclose(y / scale, want / scale, atol=2e-5)
