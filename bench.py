@@ -39,8 +39,9 @@ one transient ``TPU backend error (Internal)`` that wedged the shared
 PJRT client): every stage GROUP now runs in a FRESH SUBPROCESS with its
 own wall-clock timeout and one retry.  A wedged client, a tunnel stall,
 or a kill -9 costs exactly one group's fields; the parent always prints
-the merged JSON line.  Groups run in deliverable-priority order
-(flagship one-shot/spmm/chain first after the probe).
+the merged JSON line.  Groups run in deliverable-priority order after
+the probe: oneshot, spmm, scattered, chain, vbc2d, fem — a shrinking
+budget costs the least important rows.
 
 Engineering notes (learned from round-2's rc=124 and round-4's probes —
 every rule here exists because its violation cost minutes):
@@ -349,9 +350,25 @@ def run_oneshot(result):
         # the shared chip swings 10-15% between passes (observed 80 vs
         # 94 Gnnz/s minutes apart); the roofline claim is about what
         # the kernel CAN sustain, and each pass is already a median of
-        # paired interleaved diffs (utils/timing.py)
-        t = min(periter(mk, 20, 220, reps=6),
-                periter(mk, 20, 220, reps=6))
+        # paired interleaved diffs (utils/timing.py).  Each pass is
+        # clamped by a plausibility floor (no SpMV exceeds ~137 Gnnz/s,
+        # the VMEM-resident chain roofline; a bursty window once
+        # produced a "787 Gnnz/s" diff artifact) so min() cannot
+        # select an impossible reading.
+        floor = A.nnz / 160e9
+
+        def pass_once():
+            t = periter(mk, 20, 220, reps=6)
+            tries = 0
+            while t < floor and tries < 3:
+                t = periter(mk, 20, 400, reps=6)
+                tries += 1
+            return t if t >= floor else float("inf")
+
+        t = min(pass_once(), pass_once())
+        if not np.isfinite(t):
+            raise RuntimeError("oneshot timing below plausibility floor "
+                               "in all retries (drift artifact)")
         gnnz = A.nnz / t / 1e9
         result["value"] = round(gnnz, 2)
         result["t_full_us"] = round(t * 1e6, 2)
@@ -695,7 +712,16 @@ def run_group_subprocess(name: str, cap_s: float, env: dict):
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=cap_s, env=env)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # surface the child's partial logs — the whole point of the
+        # isolation is diagnosing which stage wedged
+        for buf in (e.stdout, e.stderr):
+            if buf:
+                text = (buf.decode(errors="replace")
+                        if isinstance(buf, bytes) else buf)
+                for line in text.splitlines()[-20:]:
+                    print(f"  [{name}|killed] {line}", file=sys.stderr,
+                          flush=True)
         return None, f"timeout after {cap_s:.0f}s"
     for line in proc.stderr.splitlines():
         print(f"  [{name}] {line}", file=sys.stderr, flush=True)

@@ -15,7 +15,6 @@ import scipy.sparse as sp
 from jax.sharding import Mesh
 
 import vbcs_tpu as v
-from vbcs_tpu.ops import multipass as mpm
 from vbcs_tpu.ops import pallas_trspmv3 as pk3
 from vbcs_tpu.ops import windowed_gather as wgm
 from vbcs_tpu.parallel import pallas_spmv3 as d3
@@ -128,6 +127,5 @@ def test_dist_oneshot3_multiclass_plan():
     A.sum_duplicates()
     B = v.vbc1d(v.CSC.from_scipy(A), 8,
                 v.SplitPartition(np.asarray(spl, np.int64)))
-    sfmt = check(A, B, 2, expect_some=False)
-    if sfmt is not None:
-        assert len(sfmt.ws) >= 2
+    sfmt = check(A, B, 2)  # must shard (verified: ws=(4,8), multipass exit)
+    assert len(sfmt.ws) >= 2

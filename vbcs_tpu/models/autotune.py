@@ -184,11 +184,14 @@ def autotune_1dvbc_trspmv(
     measure=None,
     require_cache: bool = False,
 ):
-    """Measure + fit; returns (alpha_col[W], beta_col[W]) tables (ns).
+    """Measure + fit; returns (alpha_col[W], beta_col[W],
+    gamma_col[W]) tables (ns; gamma is charged per EXCESS 8-block
+    group, see ColumnBlockComponentCostModel).
 
     ``require_cache=True`` raises FileNotFoundError instead of running
-    the on-device measurement when no disk cache exists (used by the
-    default planner, which must never trigger a multi-minute autotune).
+    the on-device measurement when no disk cache exists — for callers
+    (harnesses, library defaults) that must never trigger a
+    multi-minute autotune.
 
     ``measure(B, w) -> seconds | None`` overrides the on-device timing
     (used by tests to exercise the fit pipeline CPU-only).

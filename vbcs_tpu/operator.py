@@ -64,31 +64,38 @@ def route_tr_spmv(B):
         return "v2", pack_stream2(B), tr_spmv_pallas2
 
 
+def _v3_view_worthwhile(fmt3) -> bool:
+    """SINGLE source of truth for the 2-D routing guard (used by both
+    :func:`route_tr_spmv_2d` and ``VBC2DOperator._v3_oneshot`` so the
+    autotuner can never fit a different kernel than ``tr_mul`` runs):
+    prefer the v3 exact two-take gather on the 1-D view only when its
+    exit is the free reshape (natural) or a single-pass permute with
+    the free sublane-major store.  Measured on the blocky2d bench: a
+    multipass exit runs 5.96 Gnnz/s and the slot-store Eklundh exit
+    10.0, vs the dedicated u-blocked kernel's 17.7-18.6."""
+    from .ops.multipass import MultipassPlan
+
+    return fmt3 is not None and (
+        fmt3.natural
+        or (fmt3.exit_plan is not None
+            and not isinstance(fmt3.exit_plan, MultipassPlan)
+            and not fmt3.slot_store)
+    )
+
+
 def route_tr_spmv_2d(B2):
     """The per-call kernel :meth:`VBC2DOperator.tr_mul` routes for a
-    packed 2-D format ``B2`` — ``(name, fmt, call)``.  Mirrors
-    ``VBC2DOperator._v3_oneshot``'s guard: the v3 exact two-take gather
-    on the 1-D view only when the exit is routable, else the dedicated
-    u-blocked 2-D stream kernel."""
+    packed 2-D format ``B2`` — ``(name, fmt, call)``: the v3 exact
+    two-take gather on the 1-D view when :func:`_v3_view_worthwhile`,
+    else the dedicated u-blocked 2-D stream kernel."""
     import jax
 
     from .ops.pallas_trspmv2d import pack_stream_vbc2d, tr_spmv_pallas_2d
     from .ops.pallas_trspmv3 import pack_stream3, tr_spmv_oneshot3
 
-    from .ops.multipass import MultipassPlan
-
     with jax.ensure_compile_time_eval():
         fmt3 = pack_stream3(B2.to_1d_view(), mode="nat")
-        if fmt3 is not None and (
-            fmt3.natural
-            or (fmt3.exit_plan is not None
-                and not isinstance(fmt3.exit_plan, MultipassPlan)
-                and not fmt3.slot_store)
-        ):
-            # free-store single-pass exit only: a u-interleaved 2-D
-            # slot map needing the multipass exit measured 5.96 Gnnz/s
-            # and the slot-store Eklundh exit 10.0, vs the dedicated
-            # kernel's 17.7-18.6 on the blocky2d bench
+        if _v3_view_worthwhile(fmt3):
             return "v3_oneshot", fmt3, tr_spmv_oneshot3
         return "2d", pack_stream_vbc2d(B2), tr_spmv_pallas_2d
 
@@ -729,30 +736,18 @@ class VBC2DOperator:
 
     def _v3_oneshot(self, which: str):
         """nat-mode v3 stream format of the 1-D view (lazy; False when
-        pack_stream3 refuses the view or the slot->natural exit needs
-        the multipass radix permute).  The exact two-take gather on the
-        1-D view is preferred only when the exit is a reshape (natural)
-        or a SINGLE-pass Clos permute; multi-pass exits lose to the
-        dedicated u-blocked kernel (measured 5.96 vs 17.9 Gnnz/s on
-        the bench's blocky2d matrix)."""
+        pack_stream3 refuses the view or :func:`_v3_view_worthwhile`
+        says the dedicated u-blocked kernel wins — the shared guard
+        route_tr_spmv_2d uses, with the measurements)."""
         attr = "_v3_tr" if which == "tr" else "_v3_fw"
         cur = getattr(self, attr)
         if cur is None:
-            from .ops.multipass import MultipassPlan
             from .ops.pallas_trspmv3 import pack_stream3
 
             host = self.host_tr if which == "tr" else self.host_fw
             fmt = pack_stream3(host.to_1d_view(), mode="nat")
-            if fmt is not None and not (
-                fmt.natural
-                or (fmt.exit_plan is not None
-                    and not isinstance(fmt.exit_plan, MultipassPlan)
-                    and not fmt.slot_store)
-            ):
-                # multi-pass exit measured 5.96, slot-store Eklundh
-                # exit 10.0 vs the dedicated kernel's 17.7-18.6 Gnnz/s
-                # on the blocky2d bench — dedicated wins
-                fmt = None
+            if not _v3_view_worthwhile(fmt):
+                fmt = None  # dedicated u-blocked kernel wins (see guard)
             setattr(self, attr, fmt if fmt is not None else False)
             cur = getattr(self, attr)
         return cur if cur is not False else None

@@ -227,6 +227,19 @@ def _pack_class(B: VBC1D, stripes: np.ndarray, w: int):
     used = np.zeros((T * nv, wblk), dtype=bool)
     used[uv, d_of_uniq] = True
     first = xtile[:, 0]  # slot 0 is used whenever the vreg has any tile
+    # vregs with NO used windows (all-pad) inherit the nearest
+    # preceding real vreg's tile (forward-fill, then backward for a
+    # leading run): tail-pad vregs then point at tiles local to the
+    # same device instead of phantom tile 0, which made plan_overlap
+    # classify their chunks remote and plan_halo ship tile 0 around
+    has_any = counts > 0
+    if not has_any.all() and has_any.any():
+        idxs = np.where(has_any, np.arange(T * nv), -1)
+        ff = np.maximum.accumulate(idxs)
+        bf_src = np.where(has_any, np.arange(T * nv), T * nv)
+        bf = np.minimum.accumulate(bf_src[::-1])[::-1]
+        src = np.where(ff >= 0, ff, bf)
+        first = first[np.clip(src, 0, T * nv - 1)]
     xtile = np.where(used, xtile, first[:, None])
     xtile = xtile.reshape(-1)  # [T*nv*wblk], window d of vreg v at v*wblk+d
 

@@ -234,16 +234,22 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
     for (ranges, Td), c in zip(plans, fmt.classes):
         w = c.w
 
-        def take(arr, per, Td=Td, ranges=ranges):
+        def take(arr, per, Td=Td, ranges=ranges, edge_pad=False):
             """Slice chunks [g0,g1) along the last axis (per units/chunk)
-            into [D, ..., Td*per]."""
+            into [D, ..., Td*per].  ``edge_pad`` repeats the segment's
+            last element instead of zero-filling — used for xtile so
+            pad chunks keep pointing at DEVICE-LOCAL tiles (zero pads
+            read phantom tile 0, which made plan_overlap classify pad
+            chunks remote and plan_halo ship tile 0 to every device)."""
             a = np.asarray(arr)
             outs = []
             for g0, g1 in ranges:
                 seg = a[..., g0 * per : g1 * per]
-                pad = np.zeros(
-                    a.shape[:-1] + ((Td - (g1 - g0)) * per,), dtype=a.dtype
-                )
+                npad = (Td - (g1 - g0)) * per
+                if edge_pad and seg.shape[-1] > 0 and npad > 0:
+                    pad = np.repeat(seg[..., -1:], npad, axis=-1)
+                else:
+                    pad = np.zeros(a.shape[:-1] + (npad,), dtype=a.dtype)
                 outs.append(np.concatenate([seg, pad], axis=-1))
             return np.stack(outs, axis=0)
 
@@ -258,7 +264,8 @@ def shard_stream(fmt: pk2.StreamFormat2, ndev: int) -> ShardedStream:
                 row_i=take(c.row_i, NG),
                 gseg=take(c.gseg, NG),
                 ends=take(c.ends, NS),
-                xtile=take(c.xtile, (NG // 128) * c.wblk),  # per-(chunk, vreg, win) bases
+                xtile=take(c.xtile, (NG // 128) * c.wblk,
+                           edge_pad=True),  # per-(chunk, vreg, win) bases
                 nslots=take(c.nslots, 1),
                 straddle=take(c.straddle, 1),
             )
