@@ -32,6 +32,14 @@ in round 3 to the DP planner's *variable-width* partitions:
   flat HBM output is slot-major and the natural-order exit is a
   reshape (uniform natural formats) or one Clos-routed Pallas permute
   (``ops/windowed_gather``) — never an XLA gather/transpose pass.
+  Non-natural formats pick their exit from a three-tier ladder at pack
+  time: free sublane-major store + single-pass permute (w <= 4),
+  slot-major Eklundh store + single-pass permute (w >= 5 multi-group /
+  u-expanded views, where the sublane-major map needs w+1 windows per
+  segment), and the multipass radix permute as the guaranteed floor —
+  the XLA gather fallback is dead (measured ~0.6 GB/s, a flat ~280 us
+  on a 40k-row FEM that round-5 ablation traced the whole multi-group
+  "slow one-shot" cliff to).
 
 Format contract: square matrices, all stripe widths <= 8, and
 ``8 * X <= 8 * MAX_X`` slot-buffer VMEM.  Anything else returns None
