@@ -213,3 +213,32 @@ def test_corpus_can292():
 
     A = load_corpus()["HB/can_292"].tocsc().astype(np.float64)
     check_chain(A, 4, v.EquiChunker(4), n_iters=2, expect_natural=False)
+
+
+def test_chain_slot_store_w5_multigroup(monkeypatch):
+    """Chain on a w=5 multi-group Laplacian: the slot-major chain
+    store (out_ref = tot8.T, (ns, 8) blocks) pairs with the
+    single-pass slot-major exit — the chain analog of the one-shot's
+    slot-store tier."""
+    from vbcs_tpu.ops import windowed_gather as wgm
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        k.pop("compiler_params", None)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(wgm.pl, "pallas_call", patched)
+    k = 48
+    n = k * k
+    A = sp.diags(
+        [np.full(n, 4.0), -np.ones(n - 1), -np.ones(n - 1),
+         -np.ones(n - k), -np.ones(n - k)],
+        [0, 1, -1, k, -k], format="csc").astype(np.float32)
+    spl = np.concatenate([np.arange(0, n, 5), [n]]) \
+        if n % 5 else np.arange(0, n + 1, 5)
+    fmt = check_chain(A, 8, v.SplitPartition(np.asarray(spl, np.int64)),
+                      n_iters=2, alpha=0.1)
+    assert fmt.slot_store
