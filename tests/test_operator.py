@@ -297,3 +297,44 @@ def test_chain_dtype_and_zero_iters():
     np.testing.assert_allclose(out, A.T @ (A.T @ x), rtol=1e-10, atol=1e-10)
     out0 = np.asarray(op.tr_mul_chain(jnp.asarray(x), 0))
     np.testing.assert_array_equal(out0, x)
+
+
+def test_route_tr_spmv_mirrors_operator_dispatch():
+    """operator.route_tr_spmv is documented as the single source of
+    truth for the shipped per-call kernel (the autotuner fits it, the
+    TABLE harness times it).  Pin it to the branch VBCOperator.tr_mul
+    actually takes across all three tiers so they cannot drift."""
+    import scipy.sparse as sp
+
+    from vbcs_tpu.operator import VBCOperator, route_tr_spmv
+
+    def op_choice(op):
+        if op._pallas_tr_oneshot() is not False:
+            return "v3_oneshot"
+        if op._pallas_scatter("tr") is not None:
+            return "scatter"
+        return "v2"
+
+    rng = np.random.default_rng(0)
+
+    # v3 tier: banded blocky, uniform-8 plan
+    L, d, m = 256, 6, 2048
+    cs = np.arange(L) * 8 + 4
+    rr = np.clip(cs[:, None] + rng.integers(-40, 40, (L, d)), 0, m - 1)
+    rows = np.repeat(rr.reshape(-1), 8)
+    cols = (np.repeat(np.arange(L) * 8, d)[:, None]
+            + np.arange(8)[None, :]).reshape(-1)
+    A1 = sp.coo_matrix((rng.standard_normal(rows.size).astype(np.float32),
+                        (rows, cols)), shape=(m, m)).tocsc()
+    A1.sum_duplicates()
+
+    # scatter tier: information-free scatter (width-1/2 plans)
+    A2 = sp.random(3000, 3000, 0.001, random_state=9,
+                   format="csc").astype(np.float32)
+
+    for A in (A1, A2):
+        op = VBCOperator.from_csc(A, W=8, reorder="never")
+        kname, _, _ = route_tr_spmv(op.host_tr)
+        assert kname == op_choice(op), (
+            f"route_tr_spmv says {kname}, operator takes "
+            f"{op_choice(op)}")
