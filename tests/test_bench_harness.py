@@ -88,3 +88,19 @@ def test_stream_probe_failure_falls_back_to_spec(bench, capsys):
     result, _ = run_main(bench, capsys, script)
     assert result["roofline_denominator"] == "spec"
     assert "stream_bw" in result["group_errors"]
+
+
+def test_partial_then_timeout_keeps_first_attempts_fields(bench, capsys):
+    script = {name: [({}, None)] for name, _, _ in bench.GROUPS}
+    # attempt 1 delivers real measurements + an internal error;
+    # attempt 2 wedges entirely (no fragment) — attempt 1's fields
+    # must survive (the reverse order already did)
+    script["spmm"] = [
+        ({"errors": {"spmm": "TPU INTERNAL"}, "spmm_k128_gnnzk_s": 1.0},
+         None),
+        (None, "timeout after 100s"),
+    ]
+    result, calls = run_main(bench, capsys, script)
+    assert calls["spmm"] == 2
+    assert result["spmm_k128_gnnzk_s"] == 1.0
+    assert "spmm" in result["group_errors"]

@@ -45,23 +45,24 @@ def route_tr_spmv(B):
     path: ``models/autotune`` fits the time model to this routing and
     ``bench_tools/test_table`` times it (the reference's fidelity
     contract times the same ``mul!(y,B',x)`` the autotuner benchmarks,
-    ``src/costs.jl:87-94`` vs ``bin/test_table.jl:80``).  Mirrors the
-    dispatch order in :meth:`VBCOperator.tr_mul`:
-    v3 one-shot -> routed scatter -> v2 stream."""
-    import jax
+    ``src/costs.jl:87-94`` vs ``bin/test_table.jl:80``).  Implemented
+    ON TOP OF a real :class:`VBCOperator`'s cached format accessors —
+    the same pack guards ``tr_mul`` consults — so a guard change
+    cannot produce a different kernel here than users run (only the
+    branch ORDER is mirrored, and tests/test_operator.py pins it)."""
+    from .ops.pallas_scatter import tr_spmv_scatter
+    from .ops.pallas_trspmv2 import tr_spmv_pallas2
+    from .ops.pallas_trspmv3 import tr_spmv_oneshot3
 
-    from .ops.pallas_scatter import pack_scatter, tr_spmv_scatter
-    from .ops.pallas_trspmv2 import pack_stream2, tr_spmv_pallas2
-    from .ops.pallas_trspmv3 import pack_stream3, tr_spmv_oneshot3
-
-    with jax.ensure_compile_time_eval():
-        fmt3o = pack_stream3(B, mode="nat")
-        if fmt3o is not None:
-            return "v3_oneshot", fmt3o, tr_spmv_oneshot3
-        fmt_sc = pack_scatter(B)
-        if fmt_sc is not None:
-            return "scatter", fmt_sc, tr_spmv_scatter
-        return "v2", pack_stream2(B), tr_spmv_pallas2
+    op = VBCOperator(m=B.m, n=B.n, host_tr=B, host_fw=None,
+                     use_pallas=True)
+    fmt3o = op._pallas_tr_oneshot()
+    if fmt3o is not False:
+        return "v3_oneshot", fmt3o, tr_spmv_oneshot3
+    fmt_sc = op._pallas_scatter("tr")
+    if fmt_sc is not None:
+        return "scatter", fmt_sc, tr_spmv_scatter
+    return "v2", op._pallas_tr(), tr_spmv_pallas2
 
 
 def _v3_view_worthwhile(fmt3) -> bool:
