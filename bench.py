@@ -354,12 +354,17 @@ def timed_oneshot(fmt, x, nnz, passes=1):
 
 def _stream_probe_bytes_per_s(reps=3):
     """The elementwise STREAM rate, measured RIGHT NOW (same code as
-    the stream_bw group, smaller reps)."""
+    the stream_bw group, smaller reps).  Clamped by the spec sheet:
+    a paired-diff burst once read 922 GB/s on an 819 GB/s part — a
+    probe above spec is physically impossible and would deflate every
+    ratio that divides by it — so implausible readings retry at longer
+    chains and finally clamp to spec."""
     import jax
     import jax.numpy as jnp
 
     from vbcs_tpu.utils.timing import periter
 
+    spec = hbm_spec_bytes_per_s(jax.devices()[0])
     nwords = 64 << 20
     xs = jnp.ones((nwords,), jnp.float32)
 
@@ -373,8 +378,12 @@ def _stream_probe_bytes_per_s(reps=3):
         g = jax.jit(f)
         return lambda: g(xs, n)
 
-    t = periter(mk, 3, 13, reps=reps)
-    return 2 * nwords * 4 / t
+    bw = 2 * nwords * 4 / periter(mk, 3, 13, reps=reps)
+    tries = 0
+    while bw > spec * 1.02 and tries < 3:
+        bw = 2 * nwords * 4 / periter(mk, 3, 23, reps=reps)
+        tries += 1
+    return min(bw, spec)
 
 
 def run_oneshot(result):
